@@ -1,0 +1,110 @@
+"""Closed-loop lap runner: the TPU equivalent of the reference Simulator.sim.
+
+Reference semantics (`/root/reference/src/fnc/simulator/SysModel.py:22-54`):
+per control step, call the controller on the latest state, apply the first
+predicted input, integrate the plant, and (when ``multi_lap=False``) exit as
+soon as the *new* state's arc length exceeds the track length. The trajectory
+returned excludes the crossing state, which is returned separately with its
+arc length wrapped by one track length (the next lap's initial condition —
+laps are continuous, never reset).
+
+TPU design: a fixed-length ``lax.scan`` over ``max_steps`` with a ``done``
+mask (data-dependent exit becomes masking; state freezes once done). The
+per-scenario function is plain; batching is ``vmap`` over (ctrl_state, plant,
+key) — see :func:`run_lap_batch`.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from racinglmpc_tpu.models.dynamics import PlantState, plant_step
+from racinglmpc_tpu.models.track import Track
+from racinglmpc_tpu.utils.config import SimConfig, VehicleParams
+
+# A controller is a pure step function (ctrl_state, x, key) -> (ctrl_state, u).
+ControllerStep = Callable[[Any, jnp.ndarray, Optional[jax.Array]], Any]
+
+
+class LapResult(NamedTuple):
+    """One closed-loop lap (fixed-capacity, mask-annotated)."""
+
+    x: jnp.ndarray        # (T_max, 6) curvilinear states (row t valid iff mask[t])
+    u: jnp.ndarray        # (T_max, 2) applied inputs
+    x_glob: jnp.ndarray   # (T_max, 6) global-frame states
+    mask: jnp.ndarray     # (T_max,) bool — steps actually executed
+    steps: jnp.ndarray    # () int32 — number of executed steps (== mask.sum())
+    x_final: PlantState   # crossing state, with s wrapped by -TrackLength
+    ctrl_state: Any       # controller state after the lap
+
+
+def run_lap(
+    controller_step: ControllerStep,
+    ctrl_state,
+    plant: PlantState,
+    key: jax.Array,
+    *,
+    trk: Track,
+    vp: VehicleParams,
+    sim_cfg: SimConfig,
+    max_steps: int,
+    multi_lap: bool = False,
+) -> LapResult:
+    """Run one closed-loop lap (or a fixed-horizon run when ``multi_lap``).
+
+    ``multi_lap=True`` mirrors the reference's Simulator(map) default used for
+    the PID/MPC/LTV stages: no lap-completion exit, exactly ``max_steps``
+    steps (reference maxSimTime/dt = 1000).
+    """
+    L = trk.total_len
+
+    def step(carry, t):
+        ctrl_state, plant, done = carry
+        step_key = jax.random.fold_in(key, t)
+        k_ctrl, k_plant = jax.random.split(step_key)
+
+        new_ctrl, u = controller_step(ctrl_state, plant.x, k_ctrl)
+        new_plant = plant_step(plant, u, vp, trk, sim_cfg, k_plant)
+
+        crossed = jnp.logical_and(
+            jnp.asarray(not multi_lap), new_plant.x[4] > L
+        )
+        valid = jnp.logical_not(done)
+        # freeze everything once done
+        sel = lambda new, old: jax.tree_util.tree_map(  # noqa: E731
+            lambda a, b: jnp.where(done, b, a), new, old
+        )
+        out_ctrl = sel(new_ctrl, ctrl_state)
+        out_plant = sel(new_plant, plant)
+        new_done = jnp.logical_or(done, crossed)
+        ys = (plant.x, u, plant.x_glob, valid)
+        return (out_ctrl, out_plant, new_done), ys
+
+    init = (ctrl_state, plant, jnp.asarray(False))
+    (ctrl_out, plant_out, _), (xs, us, xgs, mask) = jax.lax.scan(
+        step, init, jnp.arange(max_steps)
+    )
+
+    steps = jnp.sum(mask).astype(jnp.int32)
+    s_shift = jnp.zeros_like(plant_out.x).at[4].set(L)
+    x_final = PlantState(x=plant_out.x - s_shift, x_glob=plant_out.x_glob)
+    return LapResult(
+        x=xs, u=us, x_glob=xgs, mask=mask, steps=steps,
+        x_final=x_final, ctrl_state=ctrl_out,
+    )
+
+
+def run_lap_batch(
+    controller_step: ControllerStep,
+    ctrl_state,
+    plant: PlantState,
+    key: jax.Array,
+    **kwargs,
+) -> LapResult:
+    """Scenario-batched lap: vmap of :func:`run_lap` over leading axes of
+    (ctrl_state, plant, key). Static configs are closed over."""
+    f = functools.partial(run_lap, controller_step, **kwargs)
+    return jax.vmap(f)(ctrl_state, plant, key)

@@ -1,0 +1,176 @@
+"""Typed configuration tree for the TPU-native LMPC framework.
+
+The reference scatters its configuration across literals in ``src/main.py:43-54``,
+two factory functions (``src/initControllerParameters.py:4-59``), vehicle
+constants (``src/fnc/simulator/SysModel.py:61-70``), and regression
+hyper-parameters (``src/fnc/controller/PredictiveModel.py:18-26``). Here it is
+one typed tree:
+
+- :class:`VehicleParams` is a NamedTuple of scalars → a JAX pytree, so it can
+  be vmapped/sharded to run *parameter variants* as part of the scenario batch.
+- :class:`MPCConfig` / :class:`LMPCConfig` / :class:`SolverConfig` /
+  :class:`SimConfig` are frozen dataclasses consumed at trace time (static
+  shapes / weights baked into the compiled program).
+
+Default values are the reference's canonical parity configuration.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Tuple
+
+import numpy as np
+
+
+class VehicleParams(NamedTuple):
+    """Single-track bicycle + Pacejka tire parameters.
+
+    Defaults reproduce the 1/10-scale BARC car in the reference
+    (``src/fnc/simulator/SysModel.py:61-70``). Being a NamedTuple of scalars
+    this is a JAX pytree: broadcastable and batchable (leading batch dims on
+    every leaf) so a scenario batch can sweep vehicle parameters.
+    """
+
+    m: float = 1.98       # mass [kg]
+    lf: float = 0.125     # CoG -> front axle [m]
+    lr: float = 0.125     # CoG -> rear axle [m]
+    Iz: float = 0.024     # yaw inertia [kg m^2]
+    Df: float = 0.8 * 1.98 * 9.81 / 2.0   # Pacejka peak, front [N]
+    Cf: float = 1.25      # Pacejka shape, front
+    Bf: float = 1.0       # Pacejka stiffness, front
+    Dr: float = 0.8 * 1.98 * 9.81 / 2.0   # Pacejka peak, rear [N]
+    Cr: float = 1.25      # Pacejka shape, rear
+    Br: float = 1.0       # Pacejka stiffness, rear
+
+
+def default_vehicle_params() -> VehicleParams:
+    return VehicleParams()
+
+
+# State / input dimensions (curvilinear frame). x = [vx, vy, wz, epsi, s, ey],
+# u = [delta, a] — reference `src/initControllerParameters.py:19-20`.
+NX = 6
+NU = 2
+
+
+@dataclasses.dataclass(frozen=True)
+class SimConfig:
+    """Plant / closed-loop simulation configuration.
+
+    Reference: dt and substep discretization `src/fnc/simulator/SysModel.py:73,94`,
+    noise magnitudes `:139-145`, step cap `:33` (maxSimTime=100 s / dt).
+    """
+
+    dt: float = 0.1                 # control period [s] (10 Hz)
+    substeps: int = 100             # Euler substeps per control step (1 kHz)
+    max_steps: int = 1000           # hard cap on control steps per lap
+    noise: bool = True              # plant noise on (vx, vy, wz)
+    noise_sigma: Tuple[float, float, float] = (0.01, 0.01, 0.005)
+    noise_clip: float = 0.05
+    noise_gain: float = 0.01
+
+    @property
+    def delta_t(self) -> float:
+        return self.dt / self.substeps
+
+
+@dataclasses.dataclass(frozen=True)
+class MPCConfig:
+    """LTI/LTV-MPC tuning. Reference `src/initControllerParameters.py:4-26`.
+
+    Constraint convention (same as reference): lane bound |ey| <= ey_max with
+    soft slack; input box |delta| <= delta_max, |a| <= a_max (hard).
+    """
+
+    N: int = 14
+    vt: float = 0.8                            # target speed [m/s]
+    Q: Tuple[float, ...] = (1.0, 1.0, 1.0, 1.0, 0.0, 100.0)
+    R: Tuple[float, ...] = (1.0, 10.0)
+    dR: Tuple[float, ...] = (0.0, 0.0)
+    Qf: Tuple[float, ...] = (0.0,) * NX
+    # slack cost [quadratic, linear] on the 2 lane constraints per stage
+    # (reference Qslack = [0, 50], `initControllerParameters.py:22`)
+    q_slack: Tuple[float, float] = (0.0, 50.0)
+    ey_max: float = 2.0                        # lane bound used by LTI/LTV-MPC
+    delta_max: float = 0.5                     # steering bound [rad]
+    a_max: float = 10.0                        # accel bound [m/s^2]
+    time_varying: bool = False
+
+    @property
+    def x_ref(self) -> Tuple[float, ...]:
+        return (self.vt, 0.0, 0.0, 0.0, 0.0, 0.0)
+
+
+@dataclasses.dataclass(frozen=True)
+class LMPCConfig:
+    """LMPC tuning + safe-set sizing. Reference `src/initControllerParameters.py:28-59`.
+
+    Fixed-capacity buffer sizes replace the reference's dynamically grown
+    Python lists (the central static-shape re-design).
+    """
+
+    N: int = 14
+    num_ss_it: int = 4            # laps used to build the safe set
+    num_ss_points: int = 48       # total safe-set points (12 per lap)
+    laps: int = 44                # total laps incl. the seed laps
+    Q: Tuple[float, ...] = (0.0,) * NX
+    R: Tuple[float, ...] = (0.0, 0.0)
+    dR: Tuple[float, float] = (5.0, 50.0)
+    q_slack: Tuple[float, float] = (5.0, 25.0)   # [quadratic, linear] lane slack
+    q_terminal_slack: float = 500.0              # terminal-slack quadratic weight
+    ey_max: float = 0.4                          # = track half-width
+    delta_max: float = 0.5
+    a_max: float = 10.0
+
+    # --- fixed-capacity buffers (TPU static shapes) ---
+    # Seed (PID) runs are 1000 steps (reference maxSimTime/dt); a stored lap
+    # additionally grows by addPoint appends during the following lap.
+    max_laps: int = 48            # >= laps
+    max_pts: int = 1408           # per-lap point capacity (lap steps + addPoint growth)
+    model_laps: int = 4           # laps used by the local sys-id (trToUse)
+    model_pts: int = 1024         # per-lap capacity in the sys-id store
+
+    # local regression hyper-parameters (reference PredictiveModel.py:18-26)
+    knn_max: int = 7              # MaxNumPoint per lap
+    kernel_h: float = 5.0         # Epanechnikov bandwidth
+    reg_lambda: float = 0.0       # ridge term in the local LS (reference: 0)
+    reg_jitter: float = 1e-9      # numerical jitter for the 5x5 solves (ours)
+    feat_scaling: Tuple[float, ...] = (0.1, 1.0, 1.0, 1.0, 1.0)
+
+    @property
+    def points_per_lap(self) -> int:
+        # numSS_Points / numSS_it + 1 selected, first 12 used as SS and
+        # last 12 as successors (reference PredictiveControllers.py:403-407)
+        return self.num_ss_points // self.num_ss_it + 1
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    """Batched dense QP solver (OSQP-style ADMM + active-set polish).
+
+    Matches OSQP's algorithmic defaults where they matter for parity with the
+    reference's `osqp.setup(..., polish=True)` call
+    (`src/fnc/controller/PredictiveControllers.py:275`).
+    """
+
+    max_iter: int = 250
+    rho: float = 0.1
+    rho_eq_scale: float = 1e3     # OSQP multiplies rho by 1e3 on equality rows
+    sigma: float = 1e-6
+    alpha: float = 1.6            # over-relaxation
+    eps_abs: float = 1e-5
+    eps_rel: float = 1e-5
+    scaling_iters: int = 10       # Ruiz equilibration sweeps (0 = off)
+    adaptive_rho: bool = True
+    adaptive_rho_interval: int = 50
+    polish: bool = True
+    polish_delta: float = 1e-6
+    polish_refine_steps: int = 3
+
+
+def np_Q(cfg) -> np.ndarray:
+    return np.diag(np.asarray(cfg.Q, dtype=np.float64))
+
+
+def np_R(cfg) -> np.ndarray:
+    return np.diag(np.asarray(cfg.R, dtype=np.float64))
