@@ -1,0 +1,351 @@
+"""LMPC: sampled-safe-set terminal machinery as pure functions over buffers.
+
+TPU-native re-design of the reference ``LMPC`` class
+(`/root/reference/src/fnc/controller/PredictiveControllers.py:286-513`). The
+reference grows Python lists of ragged arrays; here the safe set is a
+fixed-capacity :class:`SafeSet` pytree (``(max_laps, max_pts, ·)`` buffers +
+per-lap valid-row counts), so every operation is static-shape and vmaps over
+a scenario batch.
+
+Parity-critical semantics reproduced (SURVEY §2.b / reference file:line):
+- cost-to-go backward DP, cost = 1/step until s ≥ L      computeCost :447-464
+- safe-set selection: 4 fastest laps, L1-nearest window   selectPoints :478-513,
+  addTerminalComponents :386-416
+- Qfun lap-crossing correction                            :501-512
+- s-wrap of zt / linearization at lap crossing            :391-394
+  (NOTE: the reference subtracts the track length from ``xLin[4, -1]`` — the
+  *ey of horizon point 4* — which is an indexing slip for ``xLin[-1, 4]``;
+  this implementation applies the intended semantics: the arc length of the
+  last linearization point.)
+- addPoint cross-lap appends with s + TrackLength         addPoint :466-476
+- zt/zt_u as safe-set successors weighted by λ            feasibleStateInput :382-384
+- per-lap bookkeeping and xLin seeding                    addTrajectory :418-445
+
+Index-window deviation: the reference's selection window can run past the end
+of a stored lap (a latent IndexError it avoids only because ``addPoint`` keeps
+extending the most recent lap); here indices are clamped to the last valid
+row, which repeats the final stored point instead of crashing.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from racinglmpc_tpu.controllers import ocp
+from racinglmpc_tpu.models import sysid, track as track_mod
+from racinglmpc_tpu.ops import qp as qp_mod
+from racinglmpc_tpu.utils.config import LMPCConfig, SolverConfig
+
+_EMPTY_TIME = jnp.int32(2**30)   # lap-time sentinel for unused slots
+_PAD_QFUN = 10000.0              # reference computeCost init value (:469)
+
+
+class SafeSet(NamedTuple):
+    """Fixed-capacity sampled safe set (a pytree; add leading dims to batch).
+
+    ``n_pts`` grows during the *following* lap via :func:`add_point`;
+    ``lap_time`` is the original lap length used for fastest-lap sorting
+    (reference ``LapTime``, :425) and never changes.
+    """
+
+    x: jnp.ndarray         # (max_laps, max_pts, 6) curvilinear states
+    u: jnp.ndarray         # (max_laps, max_pts, 2) inputs
+    x_glob: jnp.ndarray    # (max_laps, max_pts, 6) global states (viz only)
+    qfun: jnp.ndarray      # (max_laps, max_pts) cost-to-go
+    n_pts: jnp.ndarray     # (max_laps,) int32 valid rows
+    lap_time: jnp.ndarray  # (max_laps,) int32 lap length in steps
+    n_laps: jnp.ndarray    # () int32 stored laps (reference ``it``)
+
+
+def make_safe_set(max_laps: int, max_pts: int, dtype=jnp.float32) -> SafeSet:
+    return SafeSet(
+        x=jnp.zeros((max_laps, max_pts, 6), dtype=dtype),
+        u=jnp.zeros((max_laps, max_pts, 2), dtype=dtype),
+        x_glob=jnp.zeros((max_laps, max_pts, 6), dtype=dtype),
+        qfun=jnp.full((max_laps, max_pts), _PAD_QFUN, dtype=dtype),
+        n_pts=jnp.zeros((max_laps,), dtype=jnp.int32),
+        lap_time=jnp.full((max_laps,), _EMPTY_TIME, dtype=jnp.int32),
+        n_laps=jnp.zeros((), dtype=jnp.int32),
+    )
+
+
+def compute_qfun(s: jnp.ndarray, steps: jnp.ndarray, track_len) -> jnp.ndarray:
+    """Backward-DP cost-to-go over one lap (reference computeCost :447-464).
+
+    ``s``: (T,) arc lengths (rows ≥ ``steps`` are padding). cost[steps-1] = 0;
+    going backwards cost[t] = cost[t+1] + 1 while s[t] < L, reset to 0 once
+    the state has crossed the finish line. Padding rows keep the reference's
+    10000 init value.
+    """
+    T = s.shape[0]
+    t_idx = jnp.arange(T)
+    is_last = t_idx == steps - 1
+    crossed = s >= track_len
+
+    def body(carry, inp):
+        last, crossed_t = inp
+        c = jnp.where(last | crossed_t, 0.0, carry + 1.0)
+        return c, c
+
+    _, rev = jax.lax.scan(
+        body, 0.0, (jnp.flip(is_last), jnp.flip(crossed)), length=T
+    )
+    cost = jnp.flip(rev)
+    return jnp.where(t_idx < steps, cost, _PAD_QFUN).astype(s.dtype)
+
+
+def add_trajectory(ss: SafeSet, x: jnp.ndarray, u: jnp.ndarray,
+                   x_glob: jnp.ndarray, steps: jnp.ndarray,
+                   track_len) -> SafeSet:
+    """Store a completed lap in the next free slot (addTrajectory :418-445).
+
+    ``x``/``u``/``x_glob`` may be shorter than ``max_pts``; rows ≥ ``steps``
+    are ignored. Pure and jittable (called once per lap).
+    """
+    slot = ss.n_laps
+    T = ss.x.shape[1]
+    steps = jnp.minimum(steps, T)
+    pad = lambda a, w: jnp.zeros((T, w), dtype=ss.x.dtype).at[: a.shape[0]].set(  # noqa: E731
+        a[:T].astype(ss.x.dtype)
+    )
+    xk = pad(x, 6)
+    qf = compute_qfun(xk[:, 4], steps, track_len)
+    return SafeSet(
+        x=ss.x.at[slot].set(xk),
+        u=ss.u.at[slot].set(pad(u, 2)),
+        x_glob=ss.x_glob.at[slot].set(pad(x_glob, 6)),
+        qfun=ss.qfun.at[slot].set(qf),
+        n_pts=ss.n_pts.at[slot].set(steps.astype(jnp.int32)),
+        lap_time=ss.lap_time.at[slot].set(steps.astype(jnp.int32)),
+        n_laps=ss.n_laps + 1,
+    )
+
+
+def add_point(ss: SafeSet, x: jnp.ndarray, u: jnp.ndarray, track_len) -> SafeSet:
+    """Append the current closed-loop point to the *previous* lap's safe set
+    with s + TrackLength and decreasing cost-to-go (addPoint :466-476)."""
+    lap = ss.n_laps - 1
+    p = ss.n_pts[lap]
+    cap = ss.x.shape[1]
+    p_c = jnp.minimum(p, cap - 1)  # capacity guard (drops writes when full)
+    x_app = x.astype(ss.x.dtype).at[4].add(jnp.asarray(track_len, ss.x.dtype))
+    q_app = ss.qfun[lap, p_c - 1] - 1.0
+    ok = p < cap
+    return ss._replace(
+        x=ss.x.at[lap, p_c].set(jnp.where(ok, x_app, ss.x[lap, p_c])),
+        u=ss.u.at[lap, p_c].set(jnp.where(ok, u.astype(ss.u.dtype), ss.u[lap, p_c])),
+        qfun=ss.qfun.at[lap, p_c].set(jnp.where(ok, q_app, ss.qfun[lap, p_c])),
+        n_pts=ss.n_pts.at[lap].set(jnp.where(ok, p + 1, p)),
+    )
+
+
+def _select_lap_points(ss: SafeSet, lap: jnp.ndarray, zt: jnp.ndarray, P: int):
+    """L1-nearest window of ``P`` points in one stored lap (selectPoints :478-513).
+
+    Returns (pts (P,6), u_pts (P,2), q_pts (P,)). Window: centered on the
+    nearest point when it fits, else forward from it; indices clamped to the
+    lap's valid rows (see module docstring).
+    """
+    xs = ss.x[lap]
+    n = ss.n_pts[lap]
+    d = jnp.sum(jnp.abs(xs - zt), axis=1)
+    d = jnp.where(jnp.arange(xs.shape[0]) < n, d, jnp.inf)
+    m = jnp.argmin(d).astype(jnp.int32)
+    half = P // 2
+    start = jnp.where(m - half >= 0, m - half, m)
+    idx = jnp.clip(start + jnp.arange(P), 0, jnp.maximum(n - 1, 0))
+    return xs[idx], ss.u[lap][idx], ss.qfun[lap][idx]
+
+
+def select_terminal_set(ss: SafeSet, zt: jnp.ndarray, x_pred: jnp.ndarray,
+                        time_step: jnp.ndarray, cfg: LMPCConfig, track_len):
+    """Build the terminal-set data for one solve (addTerminalComponents :395-416).
+
+    Picks the ``num_ss_it`` fastest stored laps, selects a window per lap,
+    applies the Qfun lap-crossing correction (:501-512), and splits each
+    window into safe-set points (first P-1) and their successors (last P-1).
+
+    Returns (ss_pts (6,K), succ_x (6,K), succ_u (2,K), qfun_sel (K,)).
+    """
+    P = cfg.points_per_lap  # 13
+    order = jnp.argsort(ss.lap_time)[: cfg.num_ss_it]  # fastest laps (:395)
+
+    pts, u_pts, q_pts = jax.vmap(
+        lambda lap: _select_lap_points(ss, lap, zt, P)
+    )(order)                                            # (4,P,6) (4,P,2) (4,P)
+
+    # Qfun lap-crossing correction (:501-512)
+    crossed = jnp.any(x_pred[:, 4] > track_len)
+    pred_curr = cfg.N - jnp.sum(x_pred[:, 4] > track_len)
+    most_recent = order == ss.n_laps - 1                # (4,)
+    corr = jnp.where(
+        crossed,
+        jnp.where(
+            most_recent,
+            (time_step + pred_curr).astype(q_pts.dtype),
+            ss.qfun[order, 0],
+        ),
+        0.0,
+    )
+    q_pts = q_pts + corr[:, None]
+
+    K = cfg.num_ss_points
+    ss_pts = pts[:, :-1].reshape(K, 6).T               # (6, K)
+    succ_x = pts[:, 1:].reshape(K, 6).T
+    succ_u = u_pts[:, 1:].reshape(K, 2).T
+    qfun_sel = q_pts[:, :-1].reshape(K)
+    return ss_pts, succ_x, succ_u, qfun_sel
+
+
+class LMPCState(NamedTuple):
+    """Full LMPC controller state (a pytree; vmap a leading batch axis)."""
+
+    ss: SafeSet
+    store: sysid.LapStore   # local system-ID lap store
+    u_old: jnp.ndarray      # (2,)
+    x_lin: jnp.ndarray      # (N+1, 6)
+    u_lin: jnp.ndarray      # (N, 2)
+    x_pred: jnp.ndarray     # (N+1, 6)
+    u_pred: jnp.ndarray     # (N, 2)
+    lam: jnp.ndarray        # (K,) last safe-set multipliers
+    zt: jnp.ndarray         # (6,) terminal candidate
+    zt_u: jnp.ndarray       # (2,)
+    warm_x: jnp.ndarray     # (nz,) previous primal solution (ADMM warm start)
+    warm_y: jnp.ndarray     # (mi+me,) previous dual solution
+    time_step: jnp.ndarray  # () int32, reset each lap
+    feasible: jnp.ndarray   # () bool
+
+
+def init_lmpc_state(cfg: LMPCConfig, dtype=jnp.float32) -> LMPCState:
+    """Empty state; seed laps go in via :func:`lmpc_add_trajectory`.
+
+    zt starts at [0,0,0,0,10,0] (reference :333)."""
+    dims = ocp.FTOCPDims(N=cfg.N, K=cfg.num_ss_points)
+    return LMPCState(
+        ss=make_safe_set(cfg.max_laps, cfg.max_pts, dtype=dtype),
+        store=sysid.make_lap_store(cfg.model_laps, cfg.model_pts, dtype=dtype),
+        u_old=jnp.zeros(2, dtype=dtype),
+        x_lin=jnp.zeros((cfg.N + 1, 6), dtype=dtype),
+        u_lin=jnp.zeros((cfg.N, 2), dtype=dtype),
+        x_pred=jnp.zeros((cfg.N + 1, 6), dtype=dtype),
+        u_pred=jnp.zeros((cfg.N, 2), dtype=dtype),
+        lam=jnp.zeros(cfg.num_ss_points, dtype=dtype),
+        zt=jnp.asarray([0.0, 0.0, 0.0, 0.0, 10.0, 0.0], dtype=dtype),
+        zt_u=jnp.zeros(2, dtype=dtype),
+        warm_x=jnp.zeros(dims.nz, dtype=dtype),
+        warm_y=jnp.zeros(dims.mi + dims.me, dtype=dtype),
+        time_step=jnp.zeros((), jnp.int32),
+        feasible=jnp.asarray(False),
+    )
+
+
+def lmpc_add_trajectory(state: LMPCState, cfg: LMPCConfig,
+                        x: jnp.ndarray, u: jnp.ndarray, x_glob: jnp.ndarray,
+                        steps: jnp.ndarray, track_len,
+                        add_to_model: bool = True) -> LMPCState:
+    """Per-lap bookkeeping: store the lap in the safe set (+ model store),
+    seed the linearization trajectory on the first lap (reference :431-433:
+    rows 1..N+1), and reset the step counter (:444-445)."""
+    first = state.ss.n_laps == 0
+    ss = add_trajectory(state.ss, x, u, x_glob, steps, track_len)
+    store = (
+        sysid.add_lap(state.store, x, u, steps) if add_to_model else state.store
+    )
+    N = cfg.N
+    dt = state.x_lin.dtype
+    pad_x = jnp.zeros((N + 2, 6), dtype=dt).at[: min(x.shape[0], N + 2)].set(
+        x[: N + 2].astype(dt)
+    )
+    pad_u = jnp.zeros((N + 1, 2), dtype=dt).at[: min(u.shape[0], N + 1)].set(
+        u[: N + 1].astype(dt)
+    )
+    x_lin = jnp.where(first, pad_x[1:], state.x_lin)
+    u_lin = jnp.where(first, pad_u[1:], state.u_lin)
+    return state._replace(
+        ss=ss, store=store, x_lin=x_lin, u_lin=u_lin,
+        time_step=jnp.zeros((), jnp.int32),
+    )
+
+
+def make_lmpc(
+    cfg: LMPCConfig,
+    trk: track_mod.Track,
+    solver_cfg: SolverConfig = SolverConfig(),
+    dt_ctrl: float = 0.1,
+    dtype=jnp.float32,
+):
+    """Build the LMPC step function ``(LMPCState, x0, key) -> (LMPCState, u)``.
+
+    One step = s-wrap bookkeeping → terminal-set selection → LTV local
+    system-ID over the horizon → FTOCP assembly → batched-ADMM QP solve →
+    successor-based zt update → linearization roll → addPoint
+    (the reference wires addPoint through the simulator's ``flagLMPC``,
+    SysModel.py:37-38; here it is part of the controller step).
+    """
+    dims, tmpl = ocp.make_templates(
+        N=cfg.N, Q=cfg.Q, R=cfg.R, dR=cfg.dR, Qf=(0.0,) * 6,
+        q_slack=cfg.q_slack, x_ref=(0.0,) * 6,
+        ey_max=cfg.ey_max, delta_max=cfg.delta_max, a_max=cfg.a_max,
+        K=cfg.num_ss_points, q_terminal_slack=cfg.q_terminal_slack,
+        dtype=dtype,
+    )
+    N = cfg.N
+    L = trk.total_len
+
+    def step(state: LMPCState, x0, key: Optional[jax.Array]):
+        x0 = x0.astype(dtype)
+        # s-wrap zt / last linearization point at lap crossing (:391-394)
+        wrap = state.zt[4] - x0[4] > L / 2
+        zt = state.zt.at[4].set(
+            jnp.where(wrap, jnp.maximum(state.zt[4] - L, 0.0), state.zt[4])
+        )
+        x_lin = state.x_lin.at[N, 4].add(jnp.where(wrap, -L, 0.0))
+
+        ss_pts, succ_x, succ_u, qfun_sel = select_terminal_set(
+            state.ss, zt, state.x_pred, state.time_step, cfg, L
+        )
+
+        A, B, C = sysid.local_linearization_horizon(
+            state.store, trk, x_lin[:N], state.u_lin, cfg, dt_ctrl
+        )
+        qp = ocp.assemble_qp(
+            dims, tmpl, ocp.StageDynamics(A, B, C), x0, state.u_old, cfg.dR,
+            ss_points=ss_pts, qfun_sel=qfun_sel,
+        )
+        sol = qp_mod.solve(qp, solver_cfg, warm=(state.warm_x, state.warm_y))
+        x_pred, u_pred, _, lam, _ = ocp.unpack(dims, sol.x)
+        # QP divergence is a data path (SURVEY §5.3): accept only finite
+        # solutions with small primal residual; otherwise hold the previous
+        # prediction/input/multipliers.
+        ok = (
+            jnp.all(jnp.isfinite(sol.x))
+            & (sol.pri_res < solver_cfg.accept_pri_res)
+        )
+        x_pred = jnp.where(ok, x_pred, state.x_pred)
+        u_pred = jnp.where(ok, u_pred, jnp.broadcast_to(state.u_old, u_pred.shape))
+        lam = jnp.where(ok, lam, state.lam)
+        warm_x = jnp.where(ok, sol.x, jnp.zeros_like(sol.x))
+        warm_y = jnp.where(ok, sol.y, jnp.zeros_like(sol.y))
+
+        zt_new = succ_x @ lam                      # feasibleStateInput :382-384
+        zt_u_new = succ_u @ lam
+        x_lin_new = jnp.concatenate([x_pred[1:], zt_new[None]], axis=0)
+        u_lin_new = jnp.concatenate([u_pred[1:], zt_u_new[None]], axis=0)
+
+        bounds = jnp.asarray([cfg.delta_max, cfg.a_max], dtype=dtype)
+        u_apply = jnp.clip(u_pred[0], -bounds, bounds)
+        ss = add_point(state.ss, x0, u_apply, L)   # addPoint :466-476
+
+        new = LMPCState(
+            ss=ss, store=state.store, u_old=u_apply,
+            x_lin=x_lin_new, u_lin=u_lin_new,
+            x_pred=x_pred, u_pred=u_pred, lam=lam,
+            zt=zt_new, zt_u=zt_u_new,
+            warm_x=warm_x, warm_y=warm_y,
+            time_step=state.time_step + 1, feasible=sol.solved & ok,
+        )
+        return new, u_apply.astype(x0.dtype)
+
+    return step

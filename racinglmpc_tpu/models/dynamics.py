@@ -58,6 +58,11 @@ def _substep(state: PlantState, u, vp: VehicleParams, trk: track_mod.Track, dT):
 
     cur = track_mod.curvature(trk, s)
     den = 1.0 - cur * ey
+    # guard: when the car leaves the track past the curvature center
+    # (|ey| -> 1/kappa) the reference's expression divides by ~0 and the
+    # state explodes (the reference instead drops into pdb, Track.py:280).
+    # Clamp so batched scenarios degrade gracefully instead of NaN-ing.
+    den = jnp.where(den >= 0, jnp.maximum(den, 0.05), jnp.minimum(den, -0.05))
     s_dot = (vx * jnp.cos(epsi) - vy * jnp.sin(epsi)) / den
     depsi = wz - s_dot * cur
     dey = vx * jnp.sin(epsi) + vy * jnp.cos(epsi)

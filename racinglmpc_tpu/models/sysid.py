@@ -57,8 +57,9 @@ def lti_regression(x: jnp.ndarray, u: jnp.ndarray, lamb: float,
     X = jnp.concatenate([x[:-1], u[:-1]], axis=1)            # (T-1, 8)
     Y = x[1:]                                                # (T-1, 6)
     Xw = X * w[:, None]
-    Q = X.T @ Xw + lamb * jnp.eye(X.shape[1], dtype=x.dtype)
-    W = jnp.linalg.solve(Q, Xw.T @ Y)                        # (8, 6)
+    with jax.default_matmul_precision("highest"):
+        Q = X.T @ Xw + lamb * jnp.eye(X.shape[1], dtype=x.dtype)
+        W = jnp.linalg.solve(Q, Xw.T @ Y)                    # (8, 6)
     A = W.T[:, :6]
     B = W.T[:, 6:8]
     resid = (X @ W - Y) * w[:, None]
@@ -91,12 +92,18 @@ def add_lap(store: LapStore, x: jnp.ndarray, u: jnp.ndarray,
     """Insert a lap of ``steps`` valid rows, evicting the slowest stored lap
     if (and only if) the new lap is strictly faster (PredictiveModel.py:35-46
     sorted-insert semantics restricted to the used window)."""
+    cap = store.x.shape[1]
     slot = jnp.argmax(store.steps)                  # slowest / empty slot
+    steps = jnp.minimum(steps, cap)                 # truncate over-long laps
     do = steps < store.steps[slot]
     steps_new = jnp.where(do, steps.astype(jnp.int32), store.steps[slot])
     pad = lambda buf, new: jnp.where(do, new, buf[slot])  # noqa: E731
-    xk = jnp.zeros_like(store.x[slot]).at[: x.shape[0]].set(x.astype(store.x.dtype))
-    uk = jnp.zeros_like(store.u[slot]).at[: u.shape[0]].set(u.astype(store.u.dtype))
+    xk = jnp.zeros_like(store.x[slot]).at[: x.shape[0]].set(
+        x[:cap].astype(store.x.dtype)
+    )
+    uk = jnp.zeros_like(store.u[slot]).at[: u.shape[0]].set(
+        u[:cap].astype(store.u.dtype)
+    )
     return LapStore(
         x=store.x.at[slot].set(pad(store.x, xk)),
         u=store.u.at[slot].set(pad(store.u, uk)),
@@ -135,7 +142,16 @@ def local_linearization(store: LapStore, trk: track_mod.Track,
 
     Reference: regressionAndLinearization (PredictiveModel.py:48-139).
     vmap over horizon points / scenarios for the batched version.
+
+    Matmuls at ``highest`` precision: the 5x5 weighted normal equations are
+    near-singular (reference lambda=0) and bf16-pass accumulation on TPU
+    corrupts them.
     """
+    with jax.default_matmul_precision("highest"):
+        return _local_linearization_impl(store, trk, x, u, cfg, dt_ctrl)
+
+
+def _local_linearization_impl(store, trk, x, u, cfg, dt_ctrl):
     dt = store.x.dtype
     x = x.astype(dt)
     u = u.astype(dt)
@@ -181,6 +197,9 @@ def local_linearization(store: LapStore, trk: track_mod.Track,
     h = jnp.asarray(dt_ctrl, dtype=dt)
     cur = track_mod.curvature(trk, s)
     den = 1.0 - cur * ey
+    # same off-track guard as the plant (models/dynamics.py): keep the
+    # linearization finite for scenarios that have left the lane.
+    den = jnp.where(den >= 0, jnp.maximum(den, 0.05), jnp.minimum(den, -0.05))
     ce, se = jnp.cos(epsi), jnp.sin(epsi)
     sdot = (vx * ce - vy * se) / den
 

@@ -26,7 +26,7 @@ The float64 parity oracle lives in ``tests/oracles/qp_ip.py``.
 """
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -107,17 +107,29 @@ def _residuals(qp: QPData, x, y, D, E, c):
     return pri, dua, pri_scale, dua_scale
 
 
-def _admm_segment(qp: QPData, rho, sigma, alpha, x, z, y, n_iter: int):
-    """Run ``n_iter`` ADMM iterations with fixed rho (one factorization)."""
+def _admm_segment(qp: QPData, rho, sigma, alpha, x, z, y, n_iter: int,
+                  refine_steps: int = 0):
+    """Run ``n_iter`` ADMM iterations with fixed rho (one factorization).
+
+    ``refine_steps`` rounds of iterative refinement are applied to each
+    x-update: in float32 the KKT matrix condition number (~1e5-1e6 for the
+    LMPC FTOCP) makes a raw ``Kinv @ rhs`` lose ~2 digits; refinement against
+    the exact (matvec-level) K restores them for two extra matvecs/round.
+    """
     P, q, A, l, u = qp
     n = P.shape[0]
     K = P + sigma * jnp.eye(n, dtype=P.dtype) + (A.T * rho) @ A
     Kinv = jnp.linalg.inv(K)
 
+    def apply_K(v):
+        return P @ v + sigma * v + A.T @ (rho * (A @ v))
+
     def body(carry, _):
         x, z, y = carry
         rhs = sigma * x - q + A.T @ (rho * z - y)
         xt = Kinv @ rhs
+        for _ in range(refine_steps):
+            xt = xt + Kinv @ (rhs - apply_K(xt))
         zt = A @ xt
         x_new = alpha * xt + (1.0 - alpha) * x
         z_rel = alpha * zt + (1.0 - alpha) * z
@@ -169,8 +181,25 @@ def _polish(qp: QPData, x, y, is_eq, cfg: SolverConfig):
     return x_p, y_p
 
 
-def solve(qp: QPData, cfg: SolverConfig = SolverConfig()) -> QPSolution:
-    """Solve one QP (vmap for a batch). Pure function of the inputs."""
+def solve(
+    qp: QPData,
+    cfg: SolverConfig = SolverConfig(),
+    warm: "Optional[tuple]" = None,
+) -> QPSolution:
+    """Solve one QP (vmap for a batch). Pure function of the inputs.
+
+    ``warm``: optional ``(x, y)`` primal/dual warm start in *original*
+    (unscaled) coordinates — e.g. the previous control step's solution.
+
+    All matmuls run at ``highest`` precision: on TPU the f32 default lowers
+    to bfloat16 passes, which destroys the ~1e6-conditioned KKT solves (the
+    MXU still runs these shapes at full speed via 3-pass f32).
+    """
+    with jax.default_matmul_precision("highest"):
+        return _solve_impl(qp, cfg, warm)
+
+
+def _solve_impl(qp, cfg, warm):
     dt = qp.P.dtype
     orig = qp
     n, m = qp.P.shape[0], qp.A.shape[0]
@@ -186,9 +215,16 @@ def solve(qp: QPData, cfg: SolverConfig = SolverConfig()) -> QPSolution:
     sigma = jnp.asarray(cfg.sigma, dt)
     alpha = jnp.asarray(cfg.alpha, dt)
 
-    x = jnp.zeros(n, dt)
-    z = jnp.zeros(m, dt)
-    y = jnp.zeros(m, dt)
+    if warm is not None:
+        x_w, y_w = warm
+        fin = jnp.all(jnp.isfinite(x_w)) & jnp.all(jnp.isfinite(y_w))
+        x = jnp.where(fin, x_w.astype(dt) / D, jnp.zeros(n, dt))
+        y = jnp.where(fin, c * y_w.astype(dt) / E, jnp.zeros(m, dt))
+        z = jnp.clip(qp_s.A @ x, qp_s.l, qp_s.u)
+    else:
+        x = jnp.zeros(n, dt)
+        z = jnp.zeros(m, dt)
+        y = jnp.zeros(m, dt)
 
     n_seg = max(cfg.max_iter // cfg.adaptive_rho_interval, 1) if cfg.adaptive_rho else 1
     seg_len = cfg.max_iter // n_seg
@@ -197,21 +233,27 @@ def solve(qp: QPData, cfg: SolverConfig = SolverConfig()) -> QPSolution:
     iters = jnp.asarray(cfg.max_iter, jnp.int32)
     solved = jnp.asarray(False)
     for seg in range(n_seg):
-        x, z, y = _admm_segment(qp_s, rho, sigma, alpha, x, z, y, seg_len)
+        x, z, y = _admm_segment(
+            qp_s, rho, sigma, alpha, x, z, y, seg_len,
+            refine_steps=cfg.kkt_refine_steps,
+        )
         pri, dua, pri_sc, dua_sc = _residuals(qp_s, x, y, D, E, c)
         eps_pri = cfg.eps_abs + cfg.eps_rel * pri_sc
         eps_dua = cfg.eps_abs + cfg.eps_rel * dua_sc
         ok = (pri < eps_pri) & (dua < eps_dua)
         iters = jnp.where(~solved & ok, (seg + 1) * seg_len, iters)
         solved = solved | ok
-        if cfg.adaptive_rho and seg + 1 < n_seg:
+        # rho adaptation: only for the first few segments — in float32 the
+        # late-stage dual-residual estimate is precision-noise and adapting
+        # on it destabilizes an already-converged primal iterate.
+        if cfg.adaptive_rho and seg + 1 < min(n_seg, cfg.adaptive_rho_max_updates + 1):
             ratio = jnp.sqrt(
                 (pri / jnp.maximum(pri_sc, 1e-30))
                 / jnp.maximum(dua / jnp.maximum(dua_sc, 1e-30), 1e-30)
             )
             scale = jnp.clip(ratio, 0.2, 5.0)
             rho = jnp.where(
-                (scale > 2.0) | (scale < 0.5),
+                ~solved & ((scale > 2.0) | (scale < 0.5)),
                 jnp.clip(rho * scale, 1e-6, 1e6),
                 rho,
             )

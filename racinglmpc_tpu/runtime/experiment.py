@@ -1,0 +1,340 @@
+"""The four-stage racing experiment, scenario-batched.
+
+TPU-native equivalent of the reference entry point
+(`/root/reference/src/main.py:39-141`): on the L-shaped track, run
+
+1. **PID** path following (1000 fixed steps, multi-lap — the reference's
+   ``Simulator(map)`` default never exits early, main.py:63-67),
+2. **LTI-MPC** from a one-shot ridge fit of the PID data (main.py:72-81),
+3. **LTV-MPC** with per-step local system-ID on the PID lap (main.py:86-95),
+4. **LMPC** for ``n_lmpc_laps`` laps, seeding the safe set and the sys-ID
+   store with 4 copies of the PID data (main.py:100-121).
+
+Everything is batched over a *scenario* axis (different PRNG streams and,
+optionally, different vehicle parameters): each stage is one
+``jit(vmap(...))`` program. The LMPC lap loop stays in Python (safe-set
+updates between laps, as in the reference), with each lap executed in
+fixed-size scan chunks and an early exit on the host once every scenario has
+crossed the line — the TPU-native version of the reference's data-dependent
+``while`` (SysModel.py:33-47).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import List, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from racinglmpc_tpu.controllers import lmpc as lmpc_mod
+from racinglmpc_tpu.controllers import mpc as mpc_mod
+from racinglmpc_tpu.controllers.ocp import FTOCPDims as ocp_dims
+from racinglmpc_tpu.controllers.pid import pid_step
+from racinglmpc_tpu.models import sysid
+from racinglmpc_tpu.models.dynamics import PlantState
+from racinglmpc_tpu.models.track import Track, make_track
+from racinglmpc_tpu.runtime import loop as loop_mod
+from racinglmpc_tpu.utils.config import (
+    LMPCConfig,
+    MPCConfig,
+    SimConfig,
+    SolverConfig,
+    VehicleParams,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class ExperimentConfig:
+    """Canonical parity configuration (reference main.py:43-54)."""
+
+    N: int = 14
+    vt: float = 0.8
+    lti_lambda: float = 1e-7              # ridge weight (main.py:74)
+    n_lmpc_laps: int = 40                 # LMPC iterations (Laps - numSS_it)
+    stage_steps: int = 1000               # PID/LTI/LTV steps (maxSimTime/dt)
+    lap_max_steps: int = 1000             # per-LMPC-lap step cap
+    lap_chunk: int = 125                  # scan chunk for host early-exit
+    pid_noise: bool = True                # PID exploration noise (Utilities.py:63-66)
+    sim: SimConfig = SimConfig()
+    mpc: MPCConfig = MPCConfig()
+    lmpc: LMPCConfig = LMPCConfig()
+    solver: SolverConfig = SolverConfig()
+
+
+class StageResult(NamedTuple):
+    """Batched closed-loop data of one stage (leading axis = scenario)."""
+
+    x: jnp.ndarray        # (B, T, 6)
+    u: jnp.ndarray        # (B, T, 2)
+    x_glob: jnp.ndarray   # (B, T, 6)
+    mask: jnp.ndarray     # (B, T)
+    steps: jnp.ndarray    # (B,)
+    plant_final: PlantState  # batched
+
+
+class ExperimentResult(NamedTuple):
+    pid: StageResult
+    lti: Optional[StageResult]
+    ltv: Optional[StageResult]
+    lmpc_laps: Optional[List[StageResult]]
+    lap_steps: Optional[np.ndarray]   # (B, n_lmpc_laps) closed-loop steps/lap
+    lap_times: Optional[np.ndarray]   # (B, n_lmpc_laps) Qfun[it][0]*dt [s]
+    lmpc_state: Optional[lmpc_mod.LMPCState]
+    A_lti: Optional[jnp.ndarray]
+    B_lti: Optional[jnp.ndarray]
+
+
+def initial_plant(batch: int, dtype=jnp.float32) -> PlantState:
+    """xS = [x0, x0] with x0 = [0.5, 0, 0, 0, 0, 0] (main.py:45-46)."""
+    x0 = jnp.tile(jnp.asarray([0.5, 0, 0, 0, 0, 0], dtype=dtype), (batch, 1))
+    return PlantState(x=x0, x_glob=x0)
+
+
+def _stage_result(res: loop_mod.LapResult) -> StageResult:
+    return StageResult(
+        x=res.x, u=res.u, x_glob=res.x_glob, mask=res.mask,
+        steps=res.steps, plant_final=res.plant_final,
+    )
+
+
+def _batched_runner(step_fn, trk, vp, sim_cfg, max_steps, multi_lap):
+    """jit(vmap) of run_lap with per-scenario (ctrl, plant, key, done0)."""
+
+    def f(ctrl_state, plant, key, done0, step0):
+        return loop_mod.run_lap(
+            step_fn, ctrl_state, plant, key, trk=trk, vp=vp, sim_cfg=sim_cfg,
+            max_steps=max_steps, multi_lap=multi_lap, done0=done0, step0=step0,
+        )
+
+    return jax.jit(jax.vmap(f, in_axes=(0, 0, 0, 0, None)))
+
+
+def _run_fixed(step_fn, ctrl_state, plant, key, trk, vp, sim_cfg, steps):
+    """One fixed-length batched stage (PID/LTI/LTV: multi-lap, no exit)."""
+    runner = _batched_runner(step_fn, trk, vp, sim_cfg, steps, multi_lap=True)
+    B = plant.x.shape[0]
+    done0 = jnp.zeros(B, bool)
+    return runner(ctrl_state, plant, key, done0, 0)
+
+
+def run_lap_chunked(runner, ctrl_state, plant, key, max_steps, chunk, pad_to):
+    """Run one LMPC lap in ``chunk``-step scans with host early exit.
+
+    Returns (LapResult-like tuple padded to ``pad_to`` steps, ctrl_state).
+    PRNG per-step keys are derived from the global step index, so results are
+    identical to a single ``max_steps`` scan.
+    """
+    B = plant.x.shape[0]
+    done = jnp.zeros(B, bool)
+    xs, us, xgs, masks = [], [], [], []
+    step0 = 0
+    while step0 < max_steps:
+        # step0 passed as a traced scalar so every chunk reuses one program
+        res = runner(ctrl_state, plant, key, done, jnp.int32(step0))
+        ctrl_state, plant, done = res.ctrl_state, res.plant_final, res.done
+        xs.append(res.x)
+        us.append(res.u)
+        xgs.append(res.x_glob)
+        masks.append(res.mask)
+        step0 += chunk
+        if bool(jax.device_get(jnp.all(done))):
+            break
+
+    def cat_pad(parts):
+        a = jnp.concatenate(parts, axis=1)
+        T = a.shape[1]
+        if T < pad_to:
+            pad = [(0, 0), (0, pad_to - T)] + [(0, 0)] * (a.ndim - 2)
+            a = jnp.pad(a, pad)
+        return a[:, :pad_to]
+
+    x = cat_pad(xs)
+    u = cat_pad(us)
+    xg = cat_pad(xgs)
+    mask = cat_pad(masks)
+    steps = jnp.sum(mask, axis=1).astype(jnp.int32)
+    return StageResult(x=x, u=u, x_glob=xg, mask=mask, steps=steps,
+                       plant_final=plant), ctrl_state
+
+
+def run_experiment(
+    key: jax.Array,
+    cfg: ExperimentConfig = ExperimentConfig(),
+    *,
+    batch: int = 1,
+    trk: Optional[Track] = None,
+    vp: Optional[VehicleParams] = None,
+    stages: str = "pid,lti,ltv,lmpc",
+    dtype=jnp.float32,
+    verbose: bool = False,
+) -> ExperimentResult:
+    """Run the (selected stages of the) reference experiment, batched.
+
+    ``batch`` scenarios differ by PRNG stream; pass a batched ``vp`` to also
+    sweep vehicle parameters. Stage subsets (e.g. ``"pid,lti"``) support
+    focused tests/benchmarks.
+    """
+    if trk is None:
+        trk = make_track(dtype=dtype)
+    if vp is None:
+        vp = VehicleParams()
+    want = set(stages.split(","))
+    L = trk.total_len
+    sim = cfg.sim
+
+    keys = jax.random.split(key, 5)
+    plant0 = initial_plant(batch, dtype=dtype)
+
+    def split_b(k):
+        return jax.random.split(k, batch)
+
+    log = print if verbose else (lambda *a, **k: None)
+
+    # ---- stage 1: PID (main.py:63-67) ----
+    log("Starting PID")
+    pid = functools.partial(pid_step, vt=cfg.vt, noise=cfg.pid_noise)
+    pid_states = jnp.zeros((batch, 0))  # stateless placeholder pytree
+    pid_res = _run_fixed(
+        lambda s, x, k: pid(s, x, k), pid_states, plant0, split_b(keys[0]),
+        trk, vp, sim, cfg.stage_steps,
+    )
+    pid_sr = _stage_result(pid_res)
+
+    lti_sr = ltv_sr = None
+    A_lti = B_lti = None
+    lmpc_laps: Optional[List[StageResult]] = None
+    lap_steps = lap_times = None
+    lmpc_state = None
+
+    # ---- stage 2: LTI-MPC (main.py:72-81) ----
+    if "lti" in want:
+        log("Starting MPC (LTI)")
+        A_lti, B_lti, _ = jax.vmap(
+            lambda x, u: sysid.lti_regression(x, u, cfg.lti_lambda)
+        )(pid_sr.x, pid_sr.u)
+        mpc_cfg = dataclasses.replace(cfg.mpc, N=cfg.N, vt=cfg.vt)
+
+        def lti_step_all(ctrl_and_model, x, k):
+            ctrl, (A, B) = ctrl_and_model
+            step, _ = mpc_mod.make_lti_mpc(mpc_cfg, A, B, cfg.solver, dtype=dtype)
+            new, u = step(ctrl, x, k)
+            return (new, (A, B)), u
+
+        dims = ocp_dims(cfg.N)
+        ctrl0 = (
+            jax.vmap(
+                lambda _: mpc_mod.init_state(
+                    cfg.N, dtype=dtype, nz=dims.nz, m=dims.mi + dims.me
+                )
+            )(jnp.arange(batch)),
+            (A_lti.astype(dtype), B_lti.astype(dtype)),
+        )
+        lti_res = _run_fixed(
+            lti_step_all, ctrl0, plant0, split_b(keys[1]), trk, vp, sim,
+            cfg.stage_steps,
+        )
+        lti_sr = _stage_result(lti_res)
+
+    # ---- stage 3: LTV-MPC (main.py:86-95) ----
+    if "ltv" in want:
+        log("Starting TV-MPC")
+        mpc_cfg = dataclasses.replace(cfg.mpc, N=cfg.N, vt=cfg.vt, time_varying=True)
+        ltv_store0 = jax.vmap(
+            lambda x, u, s: sysid.add_lap(
+                sysid.make_lap_store(1, cfg.lmpc.model_pts, dtype=dtype), x, u, s
+            )
+        )(pid_sr.x, pid_sr.u, pid_sr.steps)
+
+        def ltv_step_all(ctrl_and_store, x, k):
+            ctrl, store = ctrl_and_store
+            step, _ = mpc_mod.make_ltv_mpc(
+                mpc_cfg, store, trk, cfg.lmpc, cfg.solver, sim.dt, dtype=dtype
+            )
+            new, u = step(ctrl, x, k)
+            return (new, store), u
+
+        dims = ocp_dims(cfg.N)
+        ctrl0 = (
+            jax.vmap(
+                lambda st: mpc_mod.init_state(
+                    cfg.N, st.x[0, : cfg.N + 1], st.u[0, : cfg.N],
+                    dtype=dtype, nz=dims.nz, m=dims.mi + dims.me,
+                )
+            )(ltv_store0),
+            ltv_store0,
+        )
+        ltv_res = _run_fixed(
+            ltv_step_all, ctrl0, plant0, split_b(keys[2]), trk, vp, sim,
+            cfg.stage_steps,
+        )
+        ltv_sr = _stage_result(ltv_res)
+
+    # ---- stage 4: LMPC (main.py:100-121) ----
+    if "lmpc" in want:
+        log("Starting LMPC")
+        lcfg = dataclasses.replace(cfg.lmpc, N=cfg.N)
+        lmpc_step = lmpc_mod.make_lmpc(lcfg, trk, cfg.solver, sim.dt, dtype=dtype)
+
+        @jax.jit
+        @jax.vmap
+        def seed(state, x, u, xg, steps):
+            # 4 copies of the PID data into SS + model store (main.py:102-110)
+            for _ in range(lcfg.num_ss_it):
+                state = lmpc_mod.lmpc_add_trajectory(
+                    state, lcfg, x, u, xg, steps, L
+                )
+            return state
+
+        @jax.jit
+        @jax.vmap
+        def add_lap_fn(state, x, u, xg, steps):
+            return lmpc_mod.lmpc_add_trajectory(state, lcfg, x, u, xg, steps, L)
+
+        lmpc_state = jax.vmap(
+            lambda _: lmpc_mod.init_lmpc_state(lcfg, dtype=dtype)
+        )(jnp.arange(batch))
+        lmpc_state = seed(
+            lmpc_state, pid_sr.x, pid_sr.u, pid_sr.x_glob, pid_sr.steps
+        )
+
+        runner = _batched_runner(
+            lmpc_step, trk, vp, sim, cfg.lap_chunk, multi_lap=False
+        )
+        # the first LMPC lap starts from the initial condition: the reference
+        # re-passes xS — still [x0, x0] — to LMPCsimulator.sim (main.py:113-115);
+        # subsequent laps continue from the wrapped crossing state.
+        plant = initial_plant(batch, dtype=dtype)
+        lmpc_laps = []
+        lap_steps_l, lap_times_l = [], []
+        lap_keys = jax.random.split(keys[3], cfg.n_lmpc_laps)
+        for it in range(cfg.n_lmpc_laps):
+            sr, lmpc_state = run_lap_chunked(
+                runner, lmpc_state, plant, split_b(lap_keys[it]),
+                cfg.lap_max_steps, cfg.lap_chunk, cfg.lap_max_steps,
+            )
+            # next lap starts from the crossing state, s-wrapped (SysModel.py:50)
+            s_shift = jnp.zeros_like(sr.plant_final.x).at[:, 4].set(L)
+            plant = PlantState(
+                x=sr.plant_final.x - s_shift, x_glob=sr.plant_final.x_glob
+            )
+            lmpc_state = add_lap_fn(
+                lmpc_state, sr.x, sr.u, sr.x_glob, sr.steps
+            )
+            lmpc_laps.append(sr)
+            lap_steps_l.append(np.asarray(jax.device_get(sr.steps)))
+            # lap time as printed by the reference: Qfun[it][0]*dt (main.py:120)
+            slot = lmpc_state.ss.n_laps - 1
+            q0 = jax.vmap(lambda ss, sl: ss.qfun[sl, 0])(lmpc_state.ss, slot)
+            lap_times_l.append(np.asarray(jax.device_get(q0)) * sim.dt)
+            log(f"Completed lap {it}: steps={lap_steps_l[-1]}, "
+                f"time={np.round(lap_times_l[-1], 2)} s")
+        lap_steps = np.stack(lap_steps_l, axis=1)
+        lap_times = np.stack(lap_times_l, axis=1)
+
+    return ExperimentResult(
+        pid=pid_sr, lti=lti_sr, ltv=ltv_sr, lmpc_laps=lmpc_laps,
+        lap_steps=lap_steps, lap_times=lap_times, lmpc_state=lmpc_state,
+        A_lti=A_lti, B_lti=B_lti,
+    )

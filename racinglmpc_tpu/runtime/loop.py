@@ -39,6 +39,8 @@ class LapResult(NamedTuple):
     steps: jnp.ndarray    # () int32 — number of executed steps (== mask.sum())
     x_final: PlantState   # crossing state, with s wrapped by -TrackLength
     ctrl_state: Any       # controller state after the lap
+    plant_final: PlantState  # raw (unwrapped) plant state — chunk resumption
+    done: jnp.ndarray     # () bool — lap completed (always False when multi_lap)
 
 
 def run_lap(
@@ -52,12 +54,19 @@ def run_lap(
     sim_cfg: SimConfig,
     max_steps: int,
     multi_lap: bool = False,
+    done0: Optional[jnp.ndarray] = None,
+    step0: int | jnp.ndarray = 0,
 ) -> LapResult:
     """Run one closed-loop lap (or a fixed-horizon run when ``multi_lap``).
 
     ``multi_lap=True`` mirrors the reference's Simulator(map) default used for
     the PID/MPC/LTV stages: no lap-completion exit, exactly ``max_steps``
     steps (reference maxSimTime/dt = 1000).
+
+    ``done0``/``step0`` support chunked execution (resume a partially
+    completed lap): already-done scenarios stay frozen, and per-step PRNG
+    keys are derived from the *global* step index so chunking does not change
+    the noise stream.
     """
     L = trk.total_len
 
@@ -83,9 +92,10 @@ def run_lap(
         ys = (plant.x, u, plant.x_glob, valid)
         return (out_ctrl, out_plant, new_done), ys
 
-    init = (ctrl_state, plant, jnp.asarray(False))
-    (ctrl_out, plant_out, _), (xs, us, xgs, mask) = jax.lax.scan(
-        step, init, jnp.arange(max_steps)
+    done_init = jnp.asarray(False) if done0 is None else done0
+    init = (ctrl_state, plant, done_init)
+    (ctrl_out, plant_out, done_out), (xs, us, xgs, mask) = jax.lax.scan(
+        step, init, step0 + jnp.arange(max_steps)
     )
 
     steps = jnp.sum(mask).astype(jnp.int32)
@@ -94,6 +104,7 @@ def run_lap(
     return LapResult(
         x=xs, u=us, x_glob=xgs, mask=mask, steps=steps,
         x_final=x_final, ctrl_state=ctrl_out,
+        plant_final=plant_out, done=done_out,
     )
 
 

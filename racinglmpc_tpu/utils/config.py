@@ -126,7 +126,7 @@ class LMPCConfig:
     # Seed (PID) runs are 1000 steps (reference maxSimTime/dt); a stored lap
     # additionally grows by addPoint appends during the following lap.
     max_laps: int = 48            # >= laps
-    max_pts: int = 1408           # per-lap point capacity (lap steps + addPoint growth)
+    max_pts: int = 2048           # per-lap point capacity (lap steps + addPoint growth)
     model_laps: int = 4           # laps used by the local sys-id (trToUse)
     model_pts: int = 1024         # per-lap capacity in the sys-id store
 
@@ -158,14 +158,22 @@ class SolverConfig:
     rho_eq_scale: float = 1e3     # OSQP multiplies rho by 1e3 on equality rows
     sigma: float = 1e-6
     alpha: float = 1.6            # over-relaxation
-    eps_abs: float = 1e-5
-    eps_rel: float = 1e-5
+    eps_abs: float = 1e-3         # OSQP defaults (the reference passes none)
+    eps_rel: float = 1e-3
     scaling_iters: int = 10       # Ruiz equilibration sweeps (0 = off)
     adaptive_rho: bool = True
     adaptive_rho_interval: int = 50
+    adaptive_rho_max_updates: int = 3   # freeze rho after this many updates
     polish: bool = True
     polish_delta: float = 1e-6
     polish_refine_steps: int = 3
+    # iterative-refinement rounds on each ADMM x-update; essential in float32
+    # where cond(K) ~ 1e6 eats ~2 digits of the factorized solve
+    kkt_refine_steps: int = 1
+    # controllers accept a solution only if the unscaled primal residual is
+    # below this (float32 ADMM stalls on the *dual* residual at ~1e-1 while
+    # the primal solution is accurate; divergence shows up as pri >> 1e-2)
+    accept_pri_res: float = 1e-2
 
 
 def np_Q(cfg) -> np.ndarray:
