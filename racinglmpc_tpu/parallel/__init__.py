@@ -1,0 +1,8 @@
+from racinglmpc_tpu.parallel.mesh import (  # noqa: F401
+    SCENARIO_AXIS,
+    cross_scenario_metrics,
+    make_mesh,
+    replicated_sharding,
+    scenario_sharding,
+    shard_scenario_tree,
+)

@@ -1,0 +1,66 @@
+"""Device mesh / sharding helpers for the scenario axis.
+
+The reference is single-process single-thread (SURVEY §2.13-2.14: no
+parallelism, no communication backend). The TPU build's unit of scale is the
+**scenario batch** — thousands of independent closed-loop (plant, controller)
+pairs — so the canonical layout is one mesh axis ``'scenario'`` spanning all
+chips (ICI within a slice, DCN across hosts), with every batched leaf
+sharded on its leading axis and all per-scenario math purely local. XLA
+inserts collectives only where cross-scenario aggregation is requested
+(metrics reductions, best-lap gathers — see :func:`cross_scenario_metrics`).
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+SCENARIO_AXIS = "scenario"
+
+
+def make_mesh(devices: Optional[Sequence] = None,
+              axis_name: str = SCENARIO_AXIS) -> Mesh:
+    """1-D mesh over all (or the given) devices."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def scenario_sharding(mesh: Mesh, axis_name: str = SCENARIO_AXIS) -> NamedSharding:
+    """Sharding that splits the leading (scenario) axis across the mesh."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_scenario_tree(tree: Any, mesh: Mesh,
+                        axis_name: str = SCENARIO_AXIS) -> Any:
+    """Place every leaf of a scenario-batched pytree with its leading axis
+    split across the mesh (leaves whose leading dim is not divisible are
+    replicated — e.g. per-scenario scalars broadcast from configs)."""
+    n = mesh.devices.size
+    shard = scenario_sharding(mesh, axis_name)
+    repl = replicated_sharding(mesh)
+
+    def place(leaf):
+        leaf = jnp.asarray(leaf)
+        if leaf.ndim >= 1 and leaf.shape[0] % n == 0 and leaf.shape[0] > 0:
+            return jax.device_put(leaf, shard)
+        return jax.device_put(leaf, repl)
+
+    return jax.tree_util.tree_map(place, tree)
+
+
+def cross_scenario_metrics(values: jnp.ndarray) -> dict:
+    """Cross-chip reductions XLA lowers to ICI collectives: summary stats of
+    a per-scenario metric (lap steps, solve residuals, ...)."""
+    return {
+        "mean": jnp.mean(values),
+        "min": jnp.min(values),
+        "max": jnp.max(values),
+    }
