@@ -214,6 +214,7 @@ class LMPCState(NamedTuple):
     zt_u: jnp.ndarray       # (2,)
     warm_x: jnp.ndarray     # (nz,) previous primal solution (ADMM warm start)
     warm_y: jnp.ndarray     # (mi+me,) previous dual solution
+    fac: qp_mod.FactorCache  # warm KKT factorization (Newton–Schulz refresh)
     time_step: jnp.ndarray  # () int32, reset each lap
     feasible: jnp.ndarray   # () bool
     pri_res: jnp.ndarray    # () last QP primal residual (observability)
@@ -239,6 +240,7 @@ def init_lmpc_state(cfg: LMPCConfig, dtype=jnp.float32) -> LMPCState:
         zt_u=jnp.zeros(2, dtype=dtype),
         warm_x=jnp.zeros(dims.nz, dtype=dtype),
         warm_y=jnp.zeros(dims.mi + dims.me, dtype=dtype),
+        fac=qp_mod.init_factor_cache(dims.nz, dims.mi + dims.me, dtype=dtype),
         time_step=jnp.zeros((), jnp.int32),
         feasible=jnp.asarray(False),
         pri_res=jnp.zeros((), dtype=dtype),
@@ -320,7 +322,9 @@ def make_lmpc(
             dims, tmpl, ocp.StageDynamics(A, B, C), x0, state.u_old, cfg.dR,
             ss_points=ss_pts, qfun_sel=qfun_sel,
         )
-        sol = qp_mod.solve(qp, solver_cfg, warm=(state.warm_x, state.warm_y))
+        sol = qp_mod.solve(
+            qp, solver_cfg, warm=(state.warm_x, state.warm_y), fac=state.fac
+        )
         x_pred, u_pred, _, lam, _ = ocp.unpack(dims, sol.x)
         # QP divergence is a data path (SURVEY §5.3): accept only finite
         # solutions with small primal residual; otherwise hold the previous
@@ -349,7 +353,7 @@ def make_lmpc(
             x_lin=x_lin_new, u_lin=u_lin_new,
             x_pred=x_pred, u_pred=u_pred, lam=lam,
             zt=zt_new, zt_u=zt_u_new,
-            warm_x=warm_x, warm_y=warm_y,
+            warm_x=warm_x, warm_y=warm_y, fac=sol.fac,
             time_step=state.time_step + 1, feasible=sol.solved & ok,
             pri_res=sol.pri_res.astype(dtype),
             dua_res=sol.dua_res.astype(dtype),

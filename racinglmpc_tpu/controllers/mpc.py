@@ -40,6 +40,7 @@ class MPCState(NamedTuple):
     u_pred: jnp.ndarray   # (N, 2)
     warm_x: jnp.ndarray   # (nz,) previous primal solution (ADMM warm start)
     warm_y: jnp.ndarray   # (mi+me,) previous dual solution
+    fac: qp_mod.FactorCache  # warm KKT factorization (Newton–Schulz refresh)
     feasible: jnp.ndarray  # () bool — last QP converged
 
 
@@ -59,6 +60,7 @@ def init_state(N: int, x_lin=None, u_lin=None, dtype=jnp.float32,
         u_pred=jnp.zeros((N, 2), dtype=dtype),
         warm_x=jnp.zeros(nz, dtype=dtype),
         warm_y=jnp.zeros(m, dtype=dtype),
+        fac=qp_mod.init_factor_cache(nz, m, dtype=dtype),
         feasible=jnp.asarray(False),
     )
 
@@ -75,7 +77,9 @@ def _mpc_templates(cfg: MPCConfig, dtype):
 def _solve_and_unpack(dims, tmpl, dyn, x0, state: MPCState, cfg: MPCConfig,
                       solver_cfg: SolverConfig):
     qp = ocp.assemble_qp(dims, tmpl, dyn, x0, state.u_old, cfg.dR)
-    sol = qp_mod.solve(qp, solver_cfg, warm=(state.warm_x, state.warm_y))
+    sol = qp_mod.solve(
+        qp, solver_cfg, warm=(state.warm_x, state.warm_y), fac=state.fac
+    )
     x_pred, u_pred, _, _, _ = ocp.unpack(dims, sol.x)
     # infeasibility/divergence is a data path (SURVEY §5.3): accept only
     # finite solutions whose primal residual is small; otherwise hold the
@@ -88,7 +92,7 @@ def _solve_and_unpack(dims, tmpl, dyn, x0, state: MPCState, cfg: MPCConfig,
     u_pred = jnp.where(ok, u_pred, jnp.broadcast_to(state.u_old, u_pred.shape))
     warm_x = jnp.where(ok, sol.x, jnp.zeros_like(sol.x))
     warm_y = jnp.where(ok, sol.y, jnp.zeros_like(sol.y))
-    return x_pred, u_pred, sol.solved & ok, warm_x, warm_y
+    return x_pred, u_pred, sol.solved & ok, warm_x, warm_y, sol.fac
 
 
 def _clip_u(u, cfg):
@@ -117,13 +121,13 @@ def make_lti_mpc(
     )
 
     def step(state: MPCState, x0, key: Optional[jax.Array]):
-        x_pred, u_pred, ok, wx, wy = _solve_and_unpack(
+        x_pred, u_pred, ok, wx, wy, fac = _solve_and_unpack(
             dims, tmpl, dyn, x0, state, cfg, solver_cfg
         )
         u = _clip_u(u_pred[0], cfg)
         new = state._replace(
             u_old=u, x_pred=x_pred, u_pred=u_pred,
-            warm_x=wx, warm_y=wy, feasible=ok,
+            warm_x=wx, warm_y=wy, fac=fac, feasible=ok,
         )
         return new, u.astype(x0.dtype)
 
@@ -157,7 +161,7 @@ def make_ltv_mpc(
             store, trk, state.x_lin[:N], state.u_lin, lmpc_cfg, dt_ctrl
         )
         dyn = ocp.StageDynamics(A=A, B=B, C=C)
-        x_pred, u_pred, ok, wx, wy = _solve_and_unpack(
+        x_pred, u_pred, ok, wx, wy, fac = _solve_and_unpack(
             dims, tmpl, dyn, x0, state, cfg, solver_cfg
         )
         u = _clip_u(u_pred[0], cfg)
@@ -167,7 +171,7 @@ def make_ltv_mpc(
         new = MPCState(
             u_old=u, x_lin=x_lin, u_lin=u_lin,
             x_pred=x_pred, u_pred=u_pred,
-            warm_x=wx, warm_y=wy, feasible=ok,
+            warm_x=wx, warm_y=wy, fac=fac, feasible=ok,
         )
         return new, u.astype(x0.dtype)
 

@@ -44,6 +44,38 @@ class QPData(NamedTuple):
     u: jnp.ndarray  # (m,) upper bounds
 
 
+class FactorCache(NamedTuple):
+    """Per-problem warm factorization state carried across control steps.
+
+    ``kinv`` is the (approximate) inverse of the *scaled* ADMM KKT matrix
+    from the previous solve. Because the FTOCP drifts slowly step to step,
+    Newton–Schulz refreshes it in a handful of batched GEMMs instead of a
+    fresh O(n^3) factorization — the single most expensive piece of the
+    batched solve on TPU (measured: LU inverse of 1024x200x200 ≈ 160 ms;
+    warm NS ≈ 2-10 ms).
+
+    The adapted rho is deliberately NOT carried across solves: in float32
+    the dual residual stalls at its precision floor, which biases each
+    adaptation downward — carrying rho lets that bias compound until the
+    penalty collapses (observed: rho -> 1e-6 over ~10 steps, every
+    subsequent solve rejected). rho is re-derived per solve; with
+    ``adaptive_rho=False`` (the throughput preset) K then differs across
+    steps only through the drifting dynamics blocks and the warm NS refresh
+    costs a few GEMMs every step.
+    """
+
+    kinv: jnp.ndarray   # (n, n) inverse of P_s + sigma I + A_s' rho A_s
+    valid: jnp.ndarray  # () bool — cache holds a usable factorization
+
+
+def init_factor_cache(n: int, m: int, dtype=jnp.float32) -> FactorCache:
+    del m
+    return FactorCache(
+        kinv=jnp.zeros((n, n), dtype=dtype),
+        valid=jnp.asarray(False),
+    )
+
+
 class QPSolution(NamedTuple):
     x: jnp.ndarray        # (n,) primal
     y: jnp.ndarray        # (m,) dual
@@ -52,6 +84,7 @@ class QPSolution(NamedTuple):
     solved: jnp.ndarray   # () bool — residuals below tolerance
     iters: jnp.ndarray    # () int32 — first iteration at which tolerance held
     polished: jnp.ndarray  # () bool — polish improved the KKT residual
+    fac: FactorCache       # warm factorization for the next solve
 
 
 def _ruiz_equilibrate(qp: QPData, iters: int):
@@ -107,25 +140,79 @@ def _residuals(qp: QPData, x, y, D, E, c):
     return pri, dua, pri_scale, dua_scale
 
 
-def _admm_segment(qp: QPData, rho, sigma, alpha, x, z, y, n_iter: int,
-                  refine_steps: int = 0):
-    """Run ``n_iter`` ADMM iterations with fixed rho (one factorization).
+def _build_K(qp: QPData, rho, sigma):
+    P, _, A, _, _ = qp
+    n = P.shape[0]
+    return P + sigma * jnp.eye(n, dtype=P.dtype) + (A.T * rho) @ A
+
+
+def _ns_inverse(K, X0, warm_ok, tol: float, max_iters: int):
+    """Newton–Schulz matrix inverse: X <- X(2I - KX), matmul-only (MXU).
+
+    Starts from ``X0`` (previous step's inverse) when it is contracting —
+    judged by the *Frobenius* residual ||I - K X0||_F < 0.9, which bounds
+    the spectral radius (an elementwise max does not) — otherwise from a
+    norm-scaled Jacobi init. Early-exits via while_loop, so a warm refresh
+    costs a few GEMMs while a cold build takes ~25-30. If the first pass
+    fails to converge (stale warm start), a second pass restarts from the
+    Jacobi init — it costs zero iterations when the first pass succeeded.
+    Replaces the batched LU inverse, which dominates solve time on TPU
+    (see FactorCache).
+
+    Returns ``(X, resid)`` with ``resid = max|I - K X|`` of the result.
+    """
+    n = K.shape[0]
+    dt = K.dtype
+    I = jnp.eye(n, dtype=dt)
+
+    d = 1.0 / jnp.clip(jnp.diagonal(K), 1e-12, None)
+    KXj = K * d[None, :]                      # K @ diag(d), no GEMM
+    cj = jnp.sqrt(jnp.sum((I - KXj) ** 2))
+    Xj = (I * d[None, :]) / jnp.maximum(cj, 1.0)
+
+    R0 = I - K @ X0
+    r0_f = jnp.sqrt(jnp.sum(R0 * R0))
+    use_warm = warm_ok & jnp.isfinite(r0_f) & (r0_f < 0.9)
+    X_init = jnp.where(use_warm, X0, Xj)
+
+    def run(X):
+        def cond(st):
+            _, r, it = st
+            return jnp.logical_and(r > tol, it < max_iters)
+
+        def body(st):
+            X, _, it = st
+            R = I - K @ X
+            return X + X @ R, jnp.max(jnp.abs(R)), it + 1
+
+        X, _, _ = jax.lax.while_loop(
+            cond, body, (X, jnp.asarray(jnp.inf, dt), jnp.int32(0))
+        )
+        resid = jnp.max(jnp.abs(I - K @ X))
+        return X, resid
+
+    X, resid = run(X_init)
+    bad = jnp.logical_not(jnp.isfinite(resid)) | (resid > 50 * tol)
+    X2, resid2 = run(jnp.where(bad, Xj, X))   # free when the first pass held
+    return X2, resid2
+
+
+def _make_admm_iter(qp: QPData, Kinv, rho, sigma, alpha, refine_steps: int):
+    """Single-iteration ADMM update closure for a given factorization.
 
     ``refine_steps`` rounds of iterative refinement are applied to each
     x-update: in float32 the KKT matrix condition number (~1e5-1e6 for the
     LMPC FTOCP) makes a raw ``Kinv @ rhs`` lose ~2 digits; refinement against
     the exact (matvec-level) K restores them for two extra matvecs/round.
+    (Refinement also absorbs the approximation error of the Newton–Schulz
+    inverse, so a ~1e-3-accurate Kinv suffices.)
     """
     P, q, A, l, u = qp
-    n = P.shape[0]
-    K = P + sigma * jnp.eye(n, dtype=P.dtype) + (A.T * rho) @ A
-    Kinv = jnp.linalg.inv(K)
 
     def apply_K(v):
         return P @ v + sigma * v + A.T @ (rho * (A @ v))
 
-    def body(carry, _):
-        x, z, y = carry
+    def one_iter(x, z, y):
         rhs = sigma * x - q + A.T @ (rho * z - y)
         xt = Kinv @ rhs
         for _ in range(refine_steps):
@@ -135,7 +222,18 @@ def _admm_segment(qp: QPData, rho, sigma, alpha, x, z, y, n_iter: int,
         z_rel = alpha * zt + (1.0 - alpha) * z
         z_new = jnp.clip(z_rel + y / rho, l, u)
         y_new = y + rho * (z_rel - z_new)
-        return (x_new, z_new, y_new), None
+        return x_new, z_new, y_new
+
+    return one_iter
+
+
+def _admm_segment(qp: QPData, Kinv, rho, sigma, alpha, x, z, y, n_iter: int,
+                  refine_steps: int = 0):
+    """Run ``n_iter`` ADMM iterations with fixed rho/factorization."""
+    one_iter = _make_admm_iter(qp, Kinv, rho, sigma, alpha, refine_steps)
+
+    def body(carry, _):
+        return one_iter(*carry), None
 
     (x, z, y), _ = jax.lax.scan(body, (x, z, y), None, length=n_iter)
     return x, z, y
@@ -185,21 +283,24 @@ def solve(
     qp: QPData,
     cfg: SolverConfig = SolverConfig(),
     warm: "Optional[tuple]" = None,
+    fac: "Optional[FactorCache]" = None,
 ) -> QPSolution:
     """Solve one QP (vmap for a batch). Pure function of the inputs.
 
     ``warm``: optional ``(x, y)`` primal/dual warm start in *original*
     (unscaled) coordinates — e.g. the previous control step's solution.
+    ``fac``: optional :class:`FactorCache` from the previous solve of a
+    slowly-drifting problem; enables warm Newton–Schulz refactorization.
 
     All matmuls run at ``highest`` precision: on TPU the f32 default lowers
     to bfloat16 passes, which destroys the ~1e6-conditioned KKT solves (the
     MXU still runs these shapes at full speed via 3-pass f32).
     """
     with jax.default_matmul_precision("highest"):
-        return _solve_impl(qp, cfg, warm)
+        return _solve_impl(qp, cfg, warm, fac)
 
 
-def _solve_impl(qp, cfg, warm):
+def _solve_impl(qp, cfg, warm, fac):
     dt = qp.P.dtype
     orig = qp
     n, m = qp.P.shape[0], qp.A.shape[0]
@@ -226,37 +327,89 @@ def _solve_impl(qp, cfg, warm):
         z = jnp.zeros(m, dt)
         y = jnp.zeros(m, dt)
 
-    n_seg = max(cfg.max_iter // cfg.adaptive_rho_interval, 1) if cfg.adaptive_rho else 1
-    seg_len = cfg.max_iter // n_seg
+    # --- factorization (warm NS refresh when a cache is provided) ----------
+    ns_tol = cfg.ns_tol if cfg.ns_tol is not None else (
+        1e-3 if dt == jnp.float32 else 1e-9
+    )
+    if fac is not None:
+        kinv0 = fac.kinv.astype(dt)
+        warm_ok = fac.valid
+    else:
+        kinv0 = jnp.zeros((n, n), dt)
+        warm_ok = jnp.asarray(False)
 
+    # --- phase 1: warmup at rho0, then one rho adaptation ------------------
+    # (OSQP-style: adapt on the primal/dual residual ratio. A single early
+    # adaptation keeps the factorization count at 2; in steady state the
+    # carried rho no longer changes, so the phase-2 NS refresh is free.)
+    total = cfg.max_iter
+    warmup = min(cfg.warmup_iters, total)
     rho = rho0
-    iters = jnp.asarray(cfg.max_iter, jnp.int32)
-    solved = jnp.asarray(False)
-    for seg in range(n_seg):
-        x, z, y = _admm_segment(
-            qp_s, rho, sigma, alpha, x, z, y, seg_len,
-            refine_steps=cfg.kkt_refine_steps,
+    K1 = _build_K(qp_s, rho, sigma)
+    Kinv1, _ = _ns_inverse(K1, kinv0, warm_ok, ns_tol, cfg.ns_max_iters)
+    x, z, y = _admm_segment(
+        qp_s, Kinv1, rho, sigma, alpha, x, z, y, warmup,
+        refine_steps=cfg.kkt_refine_steps,
+    )
+    pri, dua, pri_sc, dua_sc = _residuals(qp_s, x, y, D, E, c)
+    solved = (pri < cfg.eps_abs + cfg.eps_rel * pri_sc) & (
+        dua < cfg.eps_abs + cfg.eps_rel * dua_sc
+    )
+    iters = jnp.where(solved, warmup, total).astype(jnp.int32)
+    if cfg.adaptive_rho:
+        ratio = jnp.sqrt(
+            (pri / jnp.maximum(pri_sc, 1e-30))
+            / jnp.maximum(dua / jnp.maximum(dua_sc, 1e-30), 1e-30)
         )
-        pri, dua, pri_sc, dua_sc = _residuals(qp_s, x, y, D, E, c)
-        eps_pri = cfg.eps_abs + cfg.eps_rel * pri_sc
-        eps_dua = cfg.eps_abs + cfg.eps_rel * dua_sc
-        ok = (pri < eps_pri) & (dua < eps_dua)
-        iters = jnp.where(~solved & ok, (seg + 1) * seg_len, iters)
-        solved = solved | ok
-        # rho adaptation: only for the first few segments — in float32 the
-        # late-stage dual-residual estimate is precision-noise and adapting
-        # on it destabilizes an already-converged primal iterate.
-        if cfg.adaptive_rho and seg + 1 < min(n_seg, cfg.adaptive_rho_max_updates + 1):
-            ratio = jnp.sqrt(
-                (pri / jnp.maximum(pri_sc, 1e-30))
-                / jnp.maximum(dua / jnp.maximum(dua_sc, 1e-30), 1e-30)
+        scale = jnp.clip(ratio, 0.2, 5.0)
+        rho = jnp.where(
+            ~solved & ((scale > 2.0) | (scale < 0.5)),
+            jnp.clip(rho * scale, 1e-6, 1e6),
+            rho,
+        )
+
+    # --- phase 2: fixed rho, early-exit chunks -----------------------------
+    # Convergence is checked every ``check_every`` iterations inside a
+    # while_loop: a converged problem stops iterating. Under vmap the loop
+    # runs until the whole batch is done (masked lanes are frozen), so wall
+    # time tracks the slowest scenario instead of always paying max_iter.
+    K2 = _build_K(qp_s, rho, sigma)
+    Kinv2, ns_resid = _ns_inverse(
+        K2, Kinv1, jnp.asarray(True), ns_tol, cfg.ns_max_iters
+    )
+    chunk = max(cfg.check_every, 1)
+    n_chunks = max((total - warmup) // chunk, 0)
+    if n_chunks > 0:
+        one_iter = _make_admm_iter(
+            qp_s, Kinv2, rho, sigma, alpha, cfg.kkt_refine_steps
+        )
+
+        def run_chunk(x, z, y):
+            def body(carry, _):
+                return one_iter(*carry), None
+
+            (x, z, y), _ = jax.lax.scan(body, (x, z, y), None, length=chunk)
+            return x, z, y
+
+        def cond(st):
+            _, _, _, k, done, _ = st
+            return jnp.logical_and(jnp.logical_not(done), k < n_chunks)
+
+        def body(st):
+            x, z, y, k, done, iters = st
+            x, z, y = run_chunk(x, z, y)
+            pri, dua, pri_sc, dua_sc = _residuals(qp_s, x, y, D, E, c)
+            ok = (pri < cfg.eps_abs + cfg.eps_rel * pri_sc) & (
+                dua < cfg.eps_abs + cfg.eps_rel * dua_sc
             )
-            scale = jnp.clip(ratio, 0.2, 5.0)
-            rho = jnp.where(
-                ~solved & ((scale > 2.0) | (scale < 0.5)),
-                jnp.clip(rho * scale, 1e-6, 1e6),
-                rho,
-            )
+            newly = ok & jnp.logical_not(done)
+            iters = jnp.where(newly, warmup + (k + 1) * chunk, iters)
+            return (x, z, y, k + 1, done | ok, iters)
+
+        x, z, y, _, done, iters = jax.lax.while_loop(
+            cond, body, (x, z, y, jnp.int32(0), solved, iters)
+        )
+        solved = solved | done
 
     # unscale
     x_u = D * x
@@ -283,9 +436,14 @@ def _solve_impl(qp, cfg, warm):
     solved_f = (pri_f < cfg.eps_abs + cfg.eps_rel * pri_sc) & (
         dua_f < cfg.eps_abs + cfg.eps_rel * dua_sc
     )
+    fac_out = FactorCache(
+        kinv=Kinv2,
+        valid=jnp.all(jnp.isfinite(Kinv2)) & (ns_resid < 50 * ns_tol),
+    )
     return QPSolution(
         x=x_u, y=y_u, pri_res=pri_f, dua_res=dua_f,
         solved=solved_f | solved, iters=iters, polished=polished,
+        fac=fac_out,
     )
 
 

@@ -162,14 +162,19 @@ class SolverConfig:
     eps_rel: float = 1e-3
     scaling_iters: int = 10       # Ruiz equilibration sweeps (0 = off)
     adaptive_rho: bool = True
-    adaptive_rho_interval: int = 50
-    adaptive_rho_max_updates: int = 3   # freeze rho after this many updates
+    warmup_iters: int = 25        # iterations at rho0 before the adaptation
+    check_every: int = 25         # convergence-check/early-exit granularity
     polish: bool = True
     polish_delta: float = 1e-6
     polish_refine_steps: int = 3
     # iterative-refinement rounds on each ADMM x-update; essential in float32
     # where cond(K) ~ 1e6 eats ~2 digits of the factorized solve
     kkt_refine_steps: int = 1
+    # Newton–Schulz KKT inverse (matmul-only; replaces batched LU on TPU):
+    # residual tolerance (None = dtype default: 1e-3 f32 / 1e-9 f64) and
+    # iteration cap (cold build needs ~25-30; warm refresh ~1-5)
+    ns_tol: "float | None" = None
+    ns_max_iters: int = 40
     # controllers accept a solution only if the unscaled primal residual is
     # below this (float32 ADMM stalls on the *dual* residual at ~1e-1 while
     # the primal solution is accurate; divergence shows up as pri >> 1e-2)
@@ -178,15 +183,17 @@ class SolverConfig:
     @classmethod
     def throughput(cls) -> "SolverConfig":
         """Speed-oriented settings for float32 TPU runs: half the iteration
-        budget and no active-set polish. Measured closed-loop LMPC lap times
-        stay within ~3% of the full config at ~4x the step rate."""
-        return cls(max_iter=100, polish=False)
+        budget, no active-set polish, and a fixed (non-adaptive) rho so the
+        warm Newton–Schulz refactorization hits on every step. Measured
+        closed-loop LMPC lap times stay within a few % of the full config
+        at a multiple of the step rate."""
+        return cls(max_iter=100, polish=False, adaptive_rho=False)
 
     @classmethod
     def parity(cls) -> "SolverConfig":
         """Accuracy-oriented settings (float64 tests vs the vendored
         interior-point oracle reach machine precision)."""
-        return cls(max_iter=1000, adaptive_rho_interval=100)
+        return cls(max_iter=1000, warmup_iters=100, check_every=100)
 
 
 def np_Q(cfg) -> np.ndarray:
