@@ -37,7 +37,7 @@ from racinglmpc_tpu.utils.config import (
 BASELINE_SOLVES_PER_S = 45.0  # reference single-problem CPU (SURVEY §6)
 
 
-def main(batch: int = 1024, steps: int = 50, reps: int = 3,
+def main(batch: int = 256, steps: int = 50, reps: int = 3,
          verbose: bool = False) -> dict:
     log = (lambda *a: print(*a, file=sys.stderr)) if verbose else (lambda *a: None)
     cfg = exp.ExperimentConfig(

@@ -111,6 +111,25 @@ def add_lap(store: LapStore, x: jnp.ndarray, u: jnp.ndarray,
     )
 
 
+def _solve_small_spd(Q: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
+    """Solve Q X = B for tiny SPD Q via unrolled Gauss–Jordan (no pivoting).
+
+    ``jnp.linalg.solve`` on (...,5,5) lowers to tiny batched LU kernels that
+    are pure overhead on TPU (measured ~40 ms of the sys-ID pass at B=1024);
+    five unrolled elimination steps are plain broadcast VPU ops. SPD + the
+    ridge jitter make diagonal pivoting safe.
+    """
+    n = Q.shape[-1]
+    M = jnp.concatenate([Q, B], axis=-1)            # (..., n, n+nY)
+    for k in range(n):
+        piv = M[..., k:k + 1, k:k + 1]
+        row_k = M[..., k:k + 1, :] / piv            # normalized pivot row
+        col_k = M[..., :, k:k + 1]
+        M = M - col_k * row_k                       # eliminate col k everywhere
+        M = M.at[..., k, :].set(row_k[..., 0, :])   # restore the pivot row
+    return M[..., :, n:]
+
+
 def _knn_per_lap(lap_x, lap_u, lap_steps, z_query, cfg: LMPCConfig):
     """Scaled-L1 k-nearest-neighbour selection within one stored lap.
 
@@ -127,8 +146,18 @@ def _knn_per_lap(lap_x, lap_u, lap_steps, z_query, cfg: LMPCConfig):
     n_valid = jnp.minimum(lap_steps, T) - 1
     valid = (jnp.arange(T) < n_valid) & (lap_steps < _EMPTY)
     d = jnp.where(valid, d, jnp.asarray(jnp.inf, dtype=dt))
-    neg_d, idx = jax.lax.top_k(-d, cfg.knn_max)
-    d_sel = -neg_d
+    # k smallest via knn_max unrolled masked argmins: O(k*T) min-reduces,
+    # much cheaper on TPU than lax.top_k's sort for k=7, T=O(512).
+    # Masking by comparison (not scatter) keeps it pure vector ops.
+    t_idx = jnp.arange(T)
+    idxs, ds = [], []
+    for _ in range(cfg.knn_max):
+        i = jnp.argmin(d)
+        idxs.append(i)
+        ds.append(d[i])
+        d = jnp.where(t_idx == i, jnp.asarray(jnp.inf, dtype=dt), d)
+    idx = jnp.stack(idxs)
+    d_sel = jnp.stack(ds)
     w = 0.75 * (1.0 - (d_sel / cfg.kernel_h) ** 2)
     w = jnp.where(d_sel < cfg.kernel_h, w, 0.0)
     return idx, w
@@ -176,7 +205,7 @@ def _local_linearization_impl(store, trk, x, u, cfg, dt_ctrl):
     def wls(M, Y):
         Mw = M * w[:, None]
         Q = M.T @ Mw + reg
-        return jnp.linalg.solve(Q, Mw.T @ Y)                         # (5, nY)
+        return _solve_small_spd(Q, Mw.T @ Y)                         # (5, nY)
 
     # vx row: features [vx, vy, wz, a, 1] (inputFeaturesVx = accel)
     M_vx = jnp.concatenate([xs[:, :3], us[:, 1:2], ones], axis=1)
