@@ -1,0 +1,85 @@
+"""Runnable benchmark presets: the five BASELINE.json configurations.
+
+Each preset is an :class:`ExperimentConfig` + (batch, stages) matching one
+row of ``BASELINE.json``'s ``configs`` list; ``run_preset`` executes it and
+returns summary metrics. Config 5 (multi-host) additionally shards the
+scenario batch over the available device mesh.
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Dict
+
+import jax
+import numpy as np
+
+from racinglmpc_tpu.runtime import experiment as exp
+from racinglmpc_tpu.utils.config import LMPCConfig, SimConfig, SolverConfig
+
+PRESETS: Dict[str, dict] = {
+    # "Lap-1 PID path following, single vehicle, oval track"
+    "config1_pid": dict(
+        stages="pid", batch=1,
+        cfg=exp.ExperimentConfig(stage_steps=1000),
+    ),
+    # "LTI-MPC path following, horizon N=14, single track, batch 64"
+    "config2_lti": dict(
+        stages="pid,lti", batch=64,
+        cfg=exp.ExperimentConfig(stage_steps=450,
+                                 solver=SolverConfig.throughput()),
+    ),
+    # "LTV-MPC with on-device local regression sys-ID, batch 256"
+    "config3_ltv": dict(
+        stages="pid,ltv", batch=256,
+        cfg=exp.ExperimentConfig(stage_steps=450,
+                                 solver=SolverConfig.throughput()),
+    ),
+    # "LMPC with safe set from 10 laps, convex-hull terminal set, batch 1k"
+    "config4_lmpc": dict(
+        stages="pid,lmpc", batch=1024,
+        cfg=exp.ExperimentConfig(
+            stage_steps=450, n_lmpc_laps=10, lap_max_steps=500,
+            lap_chunk=125, solver=SolverConfig.throughput(),
+            lmpc=LMPCConfig(max_laps=16, max_pts=1024, model_pts=512),
+        ),
+    ),
+    # "Full multi-lap LMPC (30+ laps, growing SS) x 4k variants, >=2 hosts"
+    "config5_lmpc_4k": dict(
+        stages="pid,lmpc", batch=4096,
+        cfg=exp.ExperimentConfig(
+            stage_steps=450, n_lmpc_laps=30, lap_max_steps=500,
+            lap_chunk=125, solver=SolverConfig.throughput(),
+            lmpc=LMPCConfig(max_laps=36, max_pts=1024, model_pts=512),
+        ),
+    ),
+}
+
+
+def run_preset(name: str, seed: int = 0, scale_batch: float = 1.0,
+               n_laps: int | None = None, verbose: bool = False) -> dict:
+    """Run one preset; returns {wall_s, batch, lap_times?, steps/s...}.
+
+    ``scale_batch``/``n_laps`` let smoke tests shrink a preset without
+    changing its structure.
+    """
+    p = PRESETS[name]
+    cfg = p["cfg"]
+    if n_laps is not None and "lmpc" in p["stages"]:
+        cfg = dataclasses.replace(cfg, n_lmpc_laps=n_laps)
+    batch = max(int(p["batch"] * scale_batch), 1)
+    t0 = time.time()
+    res = exp.run_experiment(
+        jax.random.PRNGKey(seed), cfg, batch=batch, stages=p["stages"],
+        verbose=verbose,
+    )
+    wall = time.time() - t0
+    out = {"preset": name, "batch": batch, "wall_s": round(wall, 2)}
+    if res.lap_times is not None:
+        out["mean_lap_times_s"] = np.round(res.lap_times.mean(0), 2).tolist()
+        out["laps_completed"] = int(
+            (res.lap_steps < cfg.lap_max_steps).all(axis=1).sum()
+        )
+        total_steps = int(res.lap_steps.sum())
+        out["lmpc_steps_per_s"] = round(total_steps / wall, 1)
+    return out
