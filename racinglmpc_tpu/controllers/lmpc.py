@@ -216,6 +216,7 @@ class LMPCState(NamedTuple):
     warm_y: jnp.ndarray     # (mi+me,) previous dual solution
     fac: qp_mod.FactorCache  # warm KKT factorization (Newton–Schulz refresh)
     time_step: jnp.ndarray  # () int32, reset each lap
+    rejects: jnp.ndarray    # () int32 consecutive rejected solves
     feasible: jnp.ndarray   # () bool
     pri_res: jnp.ndarray    # () last QP primal residual (observability)
     dua_res: jnp.ndarray    # () last QP dual residual
@@ -242,6 +243,7 @@ def init_lmpc_state(cfg: LMPCConfig, dtype=jnp.float32) -> LMPCState:
         warm_y=jnp.zeros(dims.mi + dims.me, dtype=dtype),
         fac=qp_mod.init_factor_cache(dims.nz, dims.mi + dims.me, dtype=dtype),
         time_step=jnp.zeros((), jnp.int32),
+        rejects=jnp.zeros((), jnp.int32),
         feasible=jnp.asarray(False),
         pri_res=jnp.zeros((), dtype=dtype),
         dua_res=jnp.zeros((), dtype=dtype),
@@ -339,13 +341,40 @@ def make_lmpc(
         warm_x = jnp.where(ok, sol.x, jnp.zeros_like(sol.x))
         warm_y = jnp.where(ok, sol.y, jnp.zeros_like(sol.y))
 
-        zt_new = succ_x @ lam                      # feasibleStateInput :382-384
-        zt_u_new = succ_u @ lam
+        # terminal candidate update (feasibleStateInput :382-384). On a
+        # rejected solve zt is HELD: rolling it through the stale λ makes it
+        # random-walk away from the car, turning every later QP infeasible.
+        zt_new = jnp.where(ok, succ_x @ lam, zt)
+        zt_u_new = jnp.where(ok, succ_u @ lam, state.zt_u)
+
+        # recovery: after several consecutive rejected solves (a crashed or
+        # numerically stuck scenario), fall back to the PID law
+        # (Utilities.py:61-68, braking capped to keep racing speed through
+        # transients) and RE-ANCHOR the controller at the car: zt <- x0 (the
+        # safe-set window re-centers on the nearest stored point) and the
+        # linearization trajectory collapses onto the current state. The
+        # reference would have dropped into pdb here; batched scenarios must
+        # self-recover.
+        rejects = jnp.where(ok, 0, state.rejects + 1)
+        u_pid = jnp.stack([
+            -0.6 * x0[5] - 0.9 * x0[3],
+            jnp.maximum(1.5 * (cfg.fallback_vt - x0[0]), -1.0),
+        ]).astype(dtype)
+        use_pid = rejects >= cfg.fallback_after
+        bounds = jnp.asarray([cfg.delta_max, cfg.a_max], dtype=dtype)
+        u_apply = jnp.clip(
+            jnp.where(use_pid, u_pid, u_pred[0]), -bounds, bounds
+        )
+        zt_new = jnp.where(use_pid, x0, zt_new)
+        zt_u_new = jnp.where(use_pid, u_apply, zt_u_new)
         x_lin_new = jnp.concatenate([x_pred[1:], zt_new[None]], axis=0)
         u_lin_new = jnp.concatenate([u_pred[1:], zt_u_new[None]], axis=0)
-
-        bounds = jnp.asarray([cfg.delta_max, cfg.a_max], dtype=dtype)
-        u_apply = jnp.clip(u_pred[0], -bounds, bounds)
+        x_lin_new = jnp.where(
+            use_pid, jnp.broadcast_to(x0, x_lin_new.shape), x_lin_new
+        )
+        u_lin_new = jnp.where(
+            use_pid, jnp.broadcast_to(u_apply, u_lin_new.shape), u_lin_new
+        )
         ss = add_point(state.ss, x0, u_apply, L)   # addPoint :466-476
 
         new = LMPCState(
@@ -354,7 +383,8 @@ def make_lmpc(
             x_pred=x_pred, u_pred=u_pred, lam=lam,
             zt=zt_new, zt_u=zt_u_new,
             warm_x=warm_x, warm_y=warm_y, fac=sol.fac,
-            time_step=state.time_step + 1, feasible=sol.solved & ok,
+            time_step=state.time_step + 1, rejects=rejects,
+            feasible=sol.solved & ok,
             pri_res=sol.pri_res.astype(dtype),
             dua_res=sol.dua_res.astype(dtype),
             iters=sol.iters,

@@ -56,6 +56,31 @@ def shard_scenario_tree(tree: Any, mesh: Mesh,
     return jax.tree_util.tree_map(place, tree)
 
 
+def init_multi_host(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> int:
+    """Initialize multi-host JAX (``jax.distributed.initialize``).
+
+    No-op (returns 1) when neither arguments nor the standard cluster env
+    vars are present — single-process runs and unit tests stay untouched.
+    Returns the process count. After this, :func:`make_mesh` over
+    ``jax.devices()`` spans all hosts (ICI within a slice, DCN across).
+    """
+    import os
+
+    has_env = "COORDINATOR_ADDRESS" in os.environ or "JAX_COORDINATOR" in os.environ
+    if coordinator_address is None and not has_env:
+        return 1
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return jax.process_count()
+
+
 def cross_scenario_metrics(values: jnp.ndarray) -> dict:
     """Cross-chip reductions XLA lowers to ICI collectives: summary stats of
     a per-scenario metric (lap steps, solve residuals, ...)."""

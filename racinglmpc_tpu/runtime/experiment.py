@@ -168,6 +168,7 @@ def run_experiment(
     vp: Optional[VehicleParams] = None,
     stages: str = "pid,lti,ltv,lmpc",
     dtype=jnp.float32,
+    mesh=None,
     verbose: bool = False,
 ) -> ExperimentResult:
     """Run the (selected stages of the) reference experiment, batched.
@@ -175,6 +176,11 @@ def run_experiment(
     ``batch`` scenarios differ by PRNG stream; pass a batched ``vp`` to also
     sweep vehicle parameters. Stage subsets (e.g. ``"pid,lti"``) support
     focused tests/benchmarks.
+
+    ``mesh``: an optional 1-D ``jax.sharding.Mesh`` (see ``parallel.make_mesh``);
+    when given, every scenario-batched input is sharded on its leading axis
+    and each stage's jitted program runs SPMD across the mesh (``batch`` must
+    be divisible by the device count).
     """
     if trk is None:
         trk = make_track(dtype=dtype)
@@ -184,11 +190,18 @@ def run_experiment(
     L = trk.total_len
     sim = cfg.sim
 
+    if mesh is not None:
+        from racinglmpc_tpu.parallel import shard_scenario_tree
+
+        shard = lambda t: shard_scenario_tree(t, mesh)  # noqa: E731
+    else:
+        shard = lambda t: t  # noqa: E731
+
     keys = jax.random.split(key, 5)
-    plant0 = initial_plant(batch, dtype=dtype)
+    plant0 = shard(initial_plant(batch, dtype=dtype))
 
     def split_b(k):
-        return jax.random.split(k, batch)
+        return shard(jax.random.split(k, batch))
 
     log = print if verbose else (lambda *a, **k: None)
 
@@ -232,7 +245,7 @@ def run_experiment(
             (A_lti.astype(dtype), B_lti.astype(dtype)),
         )
         lti_res = _run_fixed(
-            lti_step_all, ctrl0, plant0, split_b(keys[1]), trk, vp, sim,
+            lti_step_all, shard(ctrl0), plant0, split_b(keys[1]), trk, vp, sim,
             cfg.stage_steps,
         )
         lti_sr = _stage_result(lti_res)
@@ -266,7 +279,7 @@ def run_experiment(
             ltv_store0,
         )
         ltv_res = _run_fixed(
-            ltv_step_all, ctrl0, plant0, split_b(keys[2]), trk, vp, sim,
+            ltv_step_all, shard(ctrl0), plant0, split_b(keys[2]), trk, vp, sim,
             cfg.stage_steps,
         )
         ltv_sr = _stage_result(ltv_res)
@@ -292,9 +305,9 @@ def run_experiment(
         def add_lap_fn(state, x, u, xg, steps):
             return lmpc_mod.lmpc_add_trajectory(state, lcfg, x, u, xg, steps, L)
 
-        lmpc_state = jax.vmap(
+        lmpc_state = shard(jax.vmap(
             lambda _: lmpc_mod.init_lmpc_state(lcfg, dtype=dtype)
-        )(jnp.arange(batch))
+        )(jnp.arange(batch)))
         lmpc_state = seed(
             lmpc_state, pid_sr.x, pid_sr.u, pid_sr.x_glob, pid_sr.steps
         )

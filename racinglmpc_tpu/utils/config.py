@@ -130,6 +130,12 @@ class LMPCConfig:
     model_laps: int = 4           # laps used by the local sys-id (trToUse)
     model_pts: int = 1024         # per-lap capacity in the sys-id store
 
+    # QP-failure recovery: after this many consecutive rejected solves the
+    # controller applies the PID law toward fallback_vt instead of holding
+    # the stale input (stuck scenarios must self-recover; SURVEY §5.3)
+    fallback_after: int = 6
+    fallback_vt: float = 0.8
+
     # local regression hyper-parameters (reference PredictiveModel.py:18-26)
     knn_max: int = 7              # MaxNumPoint per lap
     kernel_h: float = 5.0         # Epanechnikov bandwidth
