@@ -1,0 +1,220 @@
+"""Pallas TPU kernel: VMEM-resident ADMM iteration loop.
+
+The batched XLA ADMM (ops/qp.py) re-reads each scenario's Kinv/A/P from HBM
+every iteration (~1 GB per iteration at batch 1024 — the solve is
+HBM-bandwidth-bound). This kernel keeps one scenario's problem data resident
+in VMEM (~900 KB: Kinv 256x256, P 256x256, A 384x256 + vectors) and runs the
+whole iteration loop on-chip.
+
+Two structural wins over the XLA path:
+
+1. **One HBM pass per solve** instead of one per iteration.
+2. **Per-scenario early exit**: the kernel is written for a single problem
+   and batched with ``vmap`` (which turns the batch into a Pallas grid), so
+   each scenario's ``while_loop`` stops at ITS convergence — under a vmapped
+   XLA while_loop every scenario pays for the slowest one.
+
+Shapes are padded to lane multiples (n -> 256, m -> 384 for the LMPC FTOCP);
+padding rows/cols are zero with l = u = 0 and rho = 1 so padded entries stay
+exactly zero through the iteration (verified in tests).
+
+Used by ops/qp.py when ``SolverConfig.use_pallas`` is set, the dtype is
+float32, rho is fixed (``adaptive_rho=False``), and the backend is TPU;
+interpret mode covers CPU tests.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANE = 128
+_BIG = 1e30
+
+
+def _pad_to(x: int) -> int:
+    return -(-x // _LANE) * _LANE
+
+
+def _kernel(P_ref, Kinv_ref, A_ref, vec_ref, x_ref, z_ref, y_ref,
+            out_x_ref, out_y_ref, out_stats_ref,
+            *, sigma: float, alpha: float, eps_abs: float, eps_rel: float,
+            max_iter: int, check_every: int, refine_steps: int,
+            np_: int, mp_: int):
+    # vec_ref rows: 0 q | 1 l | 2 u | 3 rho | 4 rho_inv | 5 D | 6 E_inv
+    # (all length mp_; the n-sized rows live in [:np_]); vec_ref[7, 0] = 1/c
+    q = vec_ref[0:1, :np_]
+    l = vec_ref[1:2, :]
+    u = vec_ref[2:3, :]
+    rho = vec_ref[3:4, :]
+    rho_inv = vec_ref[4:5, :]
+    D = vec_ref[5:6, :np_]
+    E_inv = vec_ref[6:7, :]
+    c_inv = vec_ref[7, 0]
+
+    A = A_ref[:]
+    P = P_ref[:]
+    Kinv = Kinv_ref[:]
+    f32 = jnp.float32
+
+    def mv_n(v):   # (1, mp) -> (1, np): v @ A  (contract m)
+        return jax.lax.dot_general(
+            v, A, (((1,), (0,)), ((), ())), preferred_element_type=f32)
+
+    def mv_m(v):   # (1, np) -> (1, mp): v @ A^T (contract n)
+        return jax.lax.dot_general(
+            v, A, (((1,), (1,)), ((), ())), preferred_element_type=f32)
+
+    def mv_s(v, M):  # (1, np) @ (np, np), M symmetric
+        return jax.lax.dot_general(
+            v, M, (((1,), (0,)), ((), ())), preferred_element_type=f32)
+
+    def one_iter(x, z, y):
+        rhs = sigma * x - q + mv_n(rho * z - y)
+        xt = mv_s(rhs, Kinv)
+        for _ in range(refine_steps):
+            r = rhs - (mv_s(xt, P) + sigma * xt + mv_n(rho * mv_m(xt)))
+            xt = xt + mv_s(r, Kinv)
+        zt = mv_m(xt)
+        x_new = alpha * xt + (1.0 - alpha) * x
+        z_rel = alpha * zt + (1.0 - alpha) * z
+        z_new = jnp.clip(z_rel + y * rho_inv, l, u)
+        y_new = y + rho * (z_rel - z_new)
+        return x_new, z_new, y_new
+
+    def residuals(x, y):
+        Ax = mv_m(x)
+        zc = jnp.clip(Ax, l, u)
+        pri = jnp.max(jnp.abs((Ax - zc) * E_inv))
+        Px = mv_s(x, P)
+        Aty = mv_n(y)
+        dua = jnp.max(jnp.abs((Px + q + Aty) * D)) * c_inv
+        pri_sc = jnp.maximum(jnp.max(jnp.abs(Ax * E_inv)),
+                             jnp.max(jnp.abs(zc * E_inv)))
+        dua_sc = jnp.maximum(
+            jnp.maximum(jnp.max(jnp.abs(Px * D)), jnp.max(jnp.abs(Aty * D))),
+            jnp.max(jnp.abs(q * D)),
+        ) * c_inv
+        return pri, dua, pri_sc, dua_sc
+
+    n_chunks = max(max_iter // check_every, 1)
+
+    def cond(st):
+        _, _, _, k, done, _, _, _ = st
+        return jnp.logical_and(jnp.logical_not(done), k < n_chunks)
+
+    def body(st):
+        x, z, y, k, done, pri, dua, iters = st
+        x, z, y = jax.lax.fori_loop(
+            0, check_every, lambda _, s: one_iter(*s), (x, z, y)
+        )
+        pri, dua, pri_sc, dua_sc = residuals(x, y)
+        ok = jnp.logical_and(pri < eps_abs + eps_rel * pri_sc,
+                             dua < eps_abs + eps_rel * dua_sc)
+        newly = jnp.logical_and(ok, jnp.logical_not(done))
+        iters = jnp.where(newly, (k + 1) * check_every, iters)
+        return (x, z, y, k + 1, jnp.logical_or(done, ok), pri, dua, iters)
+
+    x0, z0, y0 = x_ref[:], z_ref[:], y_ref[:]
+    init = (x0, z0, y0, jnp.int32(0), jnp.asarray(False),
+            jnp.asarray(jnp.inf, f32), jnp.asarray(jnp.inf, f32),
+            jnp.int32(max_iter))
+    x, z, y, _, done, pri, dua, iters = jax.lax.while_loop(cond, body, init)
+
+    out_x_ref[:] = x
+    out_y_ref[:] = y
+    # no scatter lowering on TPU: assemble the stats row via iota masks
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, _LANE), 1)
+    out_stats_ref[:] = (
+        jnp.where(col == 0, pri, 0.0)
+        + jnp.where(col == 1, dua, 0.0)
+        + jnp.where(col == 2, iters.astype(f32), 0.0)
+        + jnp.where(col == 3, done.astype(f32), 0.0)
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sigma", "alpha", "eps_abs", "eps_rel", "max_iter",
+                     "check_every", "refine_steps", "interpret"),
+)
+def admm_iterate(
+    P: jnp.ndarray,      # (n, n) scaled quadratic cost
+    Kinv: jnp.ndarray,   # (n, n) inverse of P + sigma I + A' rho A
+    A: jnp.ndarray,      # (m, n) scaled constraints
+    q: jnp.ndarray,      # (n,)
+    l: jnp.ndarray,      # (m,) (-inf ok)
+    u: jnp.ndarray,      # (m,)
+    rho: jnp.ndarray,    # (m,)
+    D: jnp.ndarray,      # (n,) unscaling
+    E: jnp.ndarray,      # (m,)
+    c: jnp.ndarray,      # () cost scaling
+    x0: jnp.ndarray, z0: jnp.ndarray, y0: jnp.ndarray,
+    *, sigma: float, alpha: float, eps_abs: float, eps_rel: float,
+    max_iter: int, check_every: int, refine_steps: int,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray,
+           jnp.ndarray]:
+    """Run the ADMM loop for one (scaled) QP; vmap for a batch.
+
+    Returns (x, z_unused, y, pri, dua, iters, solved)-style tuple:
+    (x (n,), y (m,), pri, dua, iters, solved) in *scaled* coordinates.
+    """
+    n, m = P.shape[0], A.shape[0]
+    np_, mp_ = _pad_to(n), _pad_to(m)
+    f32 = jnp.float32
+
+    Pp = jnp.zeros((np_, np_), f32).at[:n, :n].set(P.astype(f32))
+    Kp = jnp.zeros((np_, np_), f32).at[:n, :n].set(Kinv.astype(f32))
+    Ap = jnp.zeros((mp_, np_), f32).at[:m, :n].set(A.astype(f32))
+
+    def padv(v, size, fill=0.0):
+        out = jnp.full((size,), fill, f32)
+        return out.at[: v.shape[0]].set(v.astype(f32))
+
+    l_f = jnp.clip(l, -_BIG, _BIG)
+    u_f = jnp.clip(u, -_BIG, _BIG)
+    vec = jnp.zeros((8, mp_), f32)
+    vec = vec.at[0, :np_].set(padv(q, np_))
+    vec = vec.at[1].set(padv(l_f, mp_))
+    vec = vec.at[2].set(padv(u_f, mp_))
+    vec = vec.at[3].set(padv(rho, mp_, fill=1.0))
+    vec = vec.at[4].set(padv(1.0 / rho, mp_, fill=1.0))
+    vec = vec.at[5, :np_].set(padv(D, np_))
+    vec = vec.at[6].set(padv(1.0 / E, mp_))
+    vec = vec.at[7, 0].set((1.0 / c).astype(f32))
+
+    xp = padv(x0, np_)[None, :]
+    zp = padv(z0, mp_)[None, :]
+    yp = padv(y0, mp_)[None, :]
+
+    kern = functools.partial(
+        _kernel, sigma=float(sigma), alpha=float(alpha),
+        eps_abs=float(eps_abs), eps_rel=float(eps_rel),
+        max_iter=int(max_iter), check_every=int(check_every),
+        refine_steps=int(refine_steps), np_=np_, mp_=mp_,
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct((1, np_), f32),
+        jax.ShapeDtypeStruct((1, mp_), f32),
+        jax.ShapeDtypeStruct((1, _LANE), f32),
+    ]
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    ox, oy, stats = pl.pallas_call(
+        kern,
+        out_shape=out_shape,
+        in_specs=[vmem] * 7,
+        out_specs=[vmem] * 3,
+        interpret=interpret,
+    )(Pp, Kp, Ap, vec, xp, zp, yp)
+
+    x = ox[0, :n]
+    y = oy[0, :m]
+    pri, dua = stats[0, 0], stats[0, 1]
+    iters = stats[0, 2].astype(jnp.int32)
+    solved = stats[0, 3] > 0.5
+    return x, y, pri, dua, iters, solved

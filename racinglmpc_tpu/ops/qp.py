@@ -346,7 +346,32 @@ def _solve_impl(qp, cfg, warm, fac):
     warmup = min(cfg.warmup_iters, total)
     rho = rho0
     K1 = _build_K(qp_s, rho, sigma)
-    Kinv1, _ = _ns_inverse(K1, kinv0, warm_ok, ns_tol, cfg.ns_max_iters)
+    Kinv1, ns_resid1 = _ns_inverse(K1, kinv0, warm_ok, ns_tol, cfg.ns_max_iters)
+
+    # --- Pallas fast path: fixed rho, whole iteration loop in one kernel ---
+    use_pallas = (
+        cfg.use_pallas
+        and dt == jnp.float32
+        and not cfg.adaptive_rho
+        and (cfg.pallas_interpret or jax.default_backend() == "tpu")
+    )
+    if use_pallas:
+        from racinglmpc_tpu.ops import pallas_qp
+
+        x, y, pri_k, dua_k, iters, solved = pallas_qp.admm_iterate(
+            qp_s.P, Kinv1, qp_s.A, qp_s.q, qp_s.l, qp_s.u, rho, D, E, c,
+            x, z, y,
+            sigma=cfg.sigma, alpha=cfg.alpha,
+            eps_abs=cfg.eps_abs, eps_rel=cfg.eps_rel,
+            max_iter=total, check_every=cfg.check_every,
+            refine_steps=cfg.kkt_refine_steps,
+            interpret=cfg.pallas_interpret,
+        )
+        return _finish(orig, cfg, dt, n, m, is_eq,
+                       x_u=D * x, y_u=E * y / c,
+                       solved=solved, iters=iters,
+                       kinv=Kinv1, ns_resid=ns_resid1, ns_tol=ns_tol)
+
     x, z, y = _admm_segment(
         qp_s, Kinv1, rho, sigma, alpha, x, z, y, warmup,
         refine_steps=cfg.kkt_refine_steps,
@@ -411,10 +436,15 @@ def _solve_impl(qp, cfg, warm, fac):
         )
         solved = solved | done
 
-    # unscale
-    x_u = D * x
-    y_u = E * y / c
+    return _finish(orig, cfg, dt, n, m, is_eq,
+                   x_u=D * x, y_u=E * y / c,
+                   solved=solved, iters=iters,
+                   kinv=Kinv2, ns_resid=ns_resid, ns_tol=ns_tol)
 
+
+def _finish(orig, cfg, dt, n, m, is_eq, *, x_u, y_u, solved, iters,
+            kinv, ns_resid, ns_tol):
+    """Shared epilogue: optional polish, final residuals, cache packing."""
     if cfg.polish:
         x_p, y_p = _polish(orig, x_u, y_u, is_eq, cfg)
         ones_n = jnp.ones(n, dt)
@@ -437,8 +467,8 @@ def _solve_impl(qp, cfg, warm, fac):
         dua_f < cfg.eps_abs + cfg.eps_rel * dua_sc
     )
     fac_out = FactorCache(
-        kinv=Kinv2,
-        valid=jnp.all(jnp.isfinite(Kinv2)) & (ns_resid < 50 * ns_tol),
+        kinv=kinv,
+        valid=jnp.all(jnp.isfinite(kinv)) & (ns_resid < 50 * ns_tol),
     )
     return QPSolution(
         x=x_u, y=y_u, pri_res=pri_f, dua_res=dua_f,

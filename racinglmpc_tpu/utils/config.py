@@ -181,6 +181,11 @@ class SolverConfig:
     # iteration cap (cold build needs ~25-30; warm refresh ~1-5)
     ns_tol: "float | None" = None
     ns_max_iters: int = 40
+    # VMEM-resident Pallas ADMM kernel (ops/pallas_qp.py): engaged when the
+    # dtype is float32, rho is fixed (adaptive_rho=False) and the backend is
+    # TPU; pallas_interpret forces interpreter mode (CPU tests)
+    use_pallas: bool = False
+    pallas_interpret: bool = False
     # controllers accept a solution only if the unscaled primal residual is
     # below this (float32 ADMM stalls on the *dual* residual at ~1e-1 while
     # the primal solution is accurate; divergence shows up as pri >> 1e-2)
@@ -193,7 +198,8 @@ class SolverConfig:
         warm Newton–Schulz refactorization hits on every step. Measured
         closed-loop LMPC lap times stay within a few % of the full config
         at a multiple of the step rate."""
-        return cls(max_iter=100, polish=False, adaptive_rho=False)
+        return cls(max_iter=100, polish=False, adaptive_rho=False,
+                   use_pallas=True)
 
     @classmethod
     def parity(cls) -> "SolverConfig":
