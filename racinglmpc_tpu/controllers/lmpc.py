@@ -338,8 +338,10 @@ def make_lmpc(
         x_pred = jnp.where(ok, x_pred, state.x_pred)
         u_pred = jnp.where(ok, u_pred, jnp.broadcast_to(state.u_old, u_pred.shape))
         lam = jnp.where(ok, lam, state.lam)
-        warm_x = jnp.where(ok, sol.x, jnp.zeros_like(sol.x))
-        warm_y = jnp.where(ok, sol.y, jnp.zeros_like(sol.y))
+        # one-stage-shifted warm start for the next solve (ocp.shift_warm)
+        wx_s, wy_s = ocp.shift_warm(dims, sol.x, sol.y)
+        warm_x = jnp.where(ok, wx_s, jnp.zeros_like(sol.x))
+        warm_y = jnp.where(ok, wy_s, jnp.zeros_like(sol.y))
 
         # terminal candidate update (feasibleStateInput :382-384). On a
         # rejected solve zt is HELD: rolling it through the stale λ makes it

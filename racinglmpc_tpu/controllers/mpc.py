@@ -90,8 +90,10 @@ def _solve_and_unpack(dims, tmpl, dyn, x0, state: MPCState, cfg: MPCConfig,
     )
     x_pred = jnp.where(ok, x_pred, state.x_pred)
     u_pred = jnp.where(ok, u_pred, jnp.broadcast_to(state.u_old, u_pred.shape))
-    warm_x = jnp.where(ok, sol.x, jnp.zeros_like(sol.x))
-    warm_y = jnp.where(ok, sol.y, jnp.zeros_like(sol.y))
+    # one-stage-shifted warm start for the next solve (ocp.shift_warm)
+    wx_s, wy_s = ocp.shift_warm(dims, sol.x, sol.y)
+    warm_x = jnp.where(ok, wx_s, jnp.zeros_like(sol.x))
+    warm_y = jnp.where(ok, wy_s, jnp.zeros_like(sol.y))
     return x_pred, u_pred, sol.solved & ok, warm_x, warm_y, sol.fac
 
 

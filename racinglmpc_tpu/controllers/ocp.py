@@ -282,6 +282,46 @@ def assemble_qp(
     return QPData(P=tmpl.H, q=q, A=A, l=l, u=u)
 
 
+def shift_warm(dims: FTOCPDims, z: jnp.ndarray, y: jnp.ndarray):
+    """Shift a solution one stage forward for warm-starting the next step.
+
+    The previous optimum re-indexed to the new time origin (x_k <- x_{k+1},
+    u_k <- u_{k+1}, last entries duplicated; λ/terminal blocks kept) is far
+    closer to the next optimum than the unshifted iterate, cutting ADMM
+    iterations. Duals are shifted blockwise the same way.
+    """
+    n, d, N, nc = dims.n, dims.d, dims.N, dims.nc
+
+    def shift_rows(v, width, count):
+        m = v.reshape(count, width)
+        return jnp.concatenate([m[1:], m[-1:]], axis=0).reshape(-1)
+
+    xs = shift_rows(z[: dims.nx_tot], n, N + 1)
+    us = shift_rows(z[dims.off_u:dims.off_u + dims.nu_tot], d, N)
+    sl = shift_rows(z[dims.off_slack:dims.off_slack + dims.ns_tot], nc, N)
+    parts = [xs, us, sl]
+    if dims.K:
+        parts.append(z[dims.off_lambda:])
+    z_s = jnp.concatenate(parts)
+
+    # ineq rows: [lane ncN | input 4N | slack+ ncN | λ+ K]; eq rows:
+    # [x0-pin + dynamics (N+1 blocks of n) | terminal n | Σλ 1]
+    o = 0
+    lane = shift_rows(y[o:o + nc * N], nc, N); o += nc * N
+    ub = shift_rows(y[o:o + 4 * N], 4, N); o += 4 * N
+    sp = shift_rows(y[o:o + nc * N], nc, N); o += nc * N
+    parts = [lane, ub, sp]
+    if dims.K:
+        parts.append(y[o:o + dims.K])
+        o += dims.K
+    dyn = shift_rows(y[o:o + dims.nx_tot], n, N + 1); o += dims.nx_tot
+    parts.append(dyn)
+    if dims.K:
+        parts.append(y[o:])
+    y_s = jnp.concatenate(parts)
+    return z_s, y_s
+
+
 def unpack(dims: FTOCPDims, z: jnp.ndarray):
     """Split a solution vector by the canonical layout (reference :364-379).
 

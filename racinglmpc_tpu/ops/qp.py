@@ -62,16 +62,27 @@ class FactorCache(NamedTuple):
     ``adaptive_rho=False`` (the throughput preset) K then differs across
     steps only through the drifting dynamics blocks and the warm NS refresh
     costs a few GEMMs every step.
+
+    The Ruiz scaling (D, E, c) is also cached: warm solves apply it directly
+    and refine with ``scaling_warm_iters`` sweeps instead of recomputing
+    from scratch.
+
+    kinv: inverse of P_s + sigma I + A_s' rho A_s (scaled problem).
     """
 
-    kinv: jnp.ndarray   # (n, n) inverse of P_s + sigma I + A_s' rho A_s
+    kinv: jnp.ndarray   # (n, n)
+    D: jnp.ndarray      # (n,) Ruiz column scaling
+    E: jnp.ndarray      # (m,) Ruiz row scaling
+    c: jnp.ndarray      # () cost scaling
     valid: jnp.ndarray  # () bool — cache holds a usable factorization
 
 
 def init_factor_cache(n: int, m: int, dtype=jnp.float32) -> FactorCache:
-    del m
     return FactorCache(
         kinv=jnp.zeros((n, n), dtype=dtype),
+        D=jnp.ones(n, dtype=dtype),
+        E=jnp.ones(m, dtype=dtype),
+        c=jnp.ones((), dtype=dtype),
         valid=jnp.asarray(False),
     )
 
@@ -87,17 +98,32 @@ class QPSolution(NamedTuple):
     fac: FactorCache       # warm factorization for the next solve
 
 
-def _ruiz_equilibrate(qp: QPData, iters: int):
+def _ruiz_equilibrate(qp: QPData, iters: int, init=None):
     """Modified Ruiz equilibration of the stacked KKT (OSQP scaling).
 
     Returns scaled problem + (D, E, c) such that
     x = D x_scaled,  y = E y_scaled / c.
+
+    ``init``: optional (D0, E0, c0) from a previous, nearby problem — the
+    cached scaling is applied first and ``iters`` then only refines it, so
+    warm solves need ~2 sweeps instead of ~10.
     """
     P, q, A, l, u = qp
     n, m = P.shape[0], A.shape[0]
-    D = jnp.ones(n, dtype=P.dtype)
-    E = jnp.ones(m, dtype=P.dtype)
-    c = jnp.asarray(1.0, dtype=P.dtype)
+    if init is not None:
+        D, E, c = init
+        D = D.astype(P.dtype)
+        E = E.astype(P.dtype)
+        c = c.astype(P.dtype)
+        P = c * (D[:, None] * P * D[None, :])
+        q = c * (D * q)
+        A = E[:, None] * A * D[None, :]
+        l = E * l
+        u = E * u
+    else:
+        D = jnp.ones(n, dtype=P.dtype)
+        E = jnp.ones(m, dtype=P.dtype)
+        c = jnp.asarray(1.0, dtype=P.dtype)
 
     def body(_, carry):
         P, q, A, l, u, D, E, c = carry
@@ -185,11 +211,12 @@ def _ns_inverse(K, X0, warm_ok, tol: float, max_iters: int):
             R = I - K @ X
             return X + X @ R, jnp.max(jnp.abs(R)), it + 1
 
-        X, _, _ = jax.lax.while_loop(
+        X, r, _ = jax.lax.while_loop(
             cond, body, (X, jnp.asarray(jnp.inf, dt), jnp.int32(0))
         )
-        resid = jnp.max(jnp.abs(I - K @ X))
-        return X, resid
+        # r is the residual BEFORE the final (squaring) update — a
+        # conservative overestimate; reusing it saves a GEMM per pass.
+        return X, r
 
     X, resid = run(X_init)
     bad = jnp.logical_not(jnp.isfinite(resid)) | (resid > 50 * tol)
@@ -307,7 +334,18 @@ def _solve_impl(qp, cfg, warm, fac):
 
     is_eq = jnp.isfinite(qp.l) & jnp.isfinite(qp.u) & (qp.u - qp.l < 1e-12)
 
-    if cfg.scaling_iters > 0:
+    if fac is not None and cfg.scaling_iters > 0:
+        # warm path: apply the cached scaling, refine with a couple sweeps.
+        # (An invalid cache holds ones — the first-ever solve then gets only
+        # the refinement sweeps, which Ruiz's fast convergence tolerates.)
+        one_n, one_m = jnp.ones(n, dt), jnp.ones(m, dt)
+        init = (
+            jnp.where(fac.valid, fac.D.astype(dt), one_n),
+            jnp.where(fac.valid, fac.E.astype(dt), one_m),
+            jnp.where(fac.valid, fac.c.astype(dt), jnp.asarray(1.0, dt)),
+        )
+        qp_s, D, E, c = _ruiz_equilibrate(qp, cfg.scaling_warm_iters, init=init)
+    elif cfg.scaling_iters > 0:
         qp_s, D, E, c = _ruiz_equilibrate(qp, cfg.scaling_iters)
     else:
         qp_s, D, E, c = qp, jnp.ones(n, dt), jnp.ones(m, dt), jnp.asarray(1.0, dt)
@@ -370,7 +408,8 @@ def _solve_impl(qp, cfg, warm, fac):
         return _finish(orig, cfg, dt, n, m, is_eq,
                        x_u=D * x, y_u=E * y / c,
                        solved=solved, iters=iters,
-                       kinv=Kinv1, ns_resid=ns_resid1, ns_tol=ns_tol)
+                       kinv=Kinv1, ns_resid=ns_resid1, ns_tol=ns_tol,
+                       D=D, E=E, c=c)
 
     x, z, y = _admm_segment(
         qp_s, Kinv1, rho, sigma, alpha, x, z, y, warmup,
@@ -439,11 +478,12 @@ def _solve_impl(qp, cfg, warm, fac):
     return _finish(orig, cfg, dt, n, m, is_eq,
                    x_u=D * x, y_u=E * y / c,
                    solved=solved, iters=iters,
-                   kinv=Kinv2, ns_resid=ns_resid, ns_tol=ns_tol)
+                   kinv=Kinv2, ns_resid=ns_resid, ns_tol=ns_tol,
+                   D=D, E=E, c=c)
 
 
 def _finish(orig, cfg, dt, n, m, is_eq, *, x_u, y_u, solved, iters,
-            kinv, ns_resid, ns_tol):
+            kinv, ns_resid, ns_tol, D, E, c):
     """Shared epilogue: optional polish, final residuals, cache packing."""
     if cfg.polish:
         x_p, y_p = _polish(orig, x_u, y_u, is_eq, cfg)
@@ -467,7 +507,7 @@ def _finish(orig, cfg, dt, n, m, is_eq, *, x_u, y_u, solved, iters,
         dua_f < cfg.eps_abs + cfg.eps_rel * dua_sc
     )
     fac_out = FactorCache(
-        kinv=kinv,
+        kinv=kinv, D=D, E=E, c=c,
         valid=jnp.all(jnp.isfinite(kinv)) & (ns_resid < 50 * ns_tol),
     )
     return QPSolution(
