@@ -41,6 +41,7 @@ class LapResult(NamedTuple):
     ctrl_state: Any       # controller state after the lap
     plant_final: PlantState  # raw (unwrapped) plant state — chunk resumption
     done: jnp.ndarray     # () bool — lap completed (always False when multi_lap)
+    collected: Any = None  # per-step debug archive (see ``collect_fn``)
 
 
 def run_lap(
@@ -56,6 +57,7 @@ def run_lap(
     multi_lap: bool = False,
     done0: Optional[jnp.ndarray] = None,
     step0: int | jnp.ndarray = 0,
+    collect_fn=None,
 ) -> LapResult:
     """Run one closed-loop lap (or a fixed-horizon run when ``multi_lap``).
 
@@ -67,6 +69,13 @@ def run_lap(
     completed lap): already-done scenarios stay frozen, and per-step PRNG
     keys are derived from the *global* step index so chunking does not change
     the noise stream.
+
+    ``collect_fn(ctrl_state) -> pytree``: optional per-step debug archive —
+    the TPU equivalent of the reference's memory-heavy predicted-trajectory
+    store (xStoredPredTraj/uStoredPredTraj, PredictiveControllers.py:323-328,
+    377-379; SURVEY §5.5). E.g. for the LMPC pass
+    ``lambda st: (st.x_pred, st.u_pred, st.lam)``; the result lands in
+    ``LapResult.collected`` with a leading time axis.
     """
     L = trk.total_len
 
@@ -89,13 +98,14 @@ def run_lap(
         out_ctrl = sel(new_ctrl, ctrl_state)
         out_plant = sel(new_plant, plant)
         new_done = jnp.logical_or(done, crossed)
-        ys = (plant.x, u, plant.x_glob, valid)
+        extra = collect_fn(new_ctrl) if collect_fn is not None else None
+        ys = (plant.x, u, plant.x_glob, valid, extra)
         return (out_ctrl, out_plant, new_done), ys
 
     done_init = jnp.asarray(False) if done0 is None else done0
     init = (ctrl_state, plant, done_init)
-    (ctrl_out, plant_out, done_out), (xs, us, xgs, mask) = jax.lax.scan(
-        step, init, step0 + jnp.arange(max_steps)
+    (ctrl_out, plant_out, done_out), (xs, us, xgs, mask, collected) = (
+        jax.lax.scan(step, init, step0 + jnp.arange(max_steps))
     )
 
     steps = jnp.sum(mask).astype(jnp.int32)
@@ -104,7 +114,7 @@ def run_lap(
     return LapResult(
         x=xs, u=us, x_glob=xgs, mask=mask, steps=steps,
         x_final=x_final, ctrl_state=ctrl_out,
-        plant_final=plant_out, done=done_out,
+        plant_final=plant_out, done=done_out, collected=collected,
     )
 
 

@@ -114,6 +114,18 @@ def plot_lap_times(lap_times, dt_is_seconds=True, ax=None):
     return ax
 
 
+def pred_to_global(trk, x_pred_archive):
+    """Convert a per-step predicted-trajectory archive (T, N+1, 6) of
+    curvilinear states into XY polylines for :func:`animate_xy`'s
+    ``pred_glob`` (the reference animates xStoredPredTraj this way,
+    plot.py:106-175)."""
+    import jax.numpy as jnp
+
+    arr = jnp.asarray(x_pred_archive)
+    xs, ys = track_mod.global_position(trk, arr[..., 4], arr[..., 5])
+    return np.stack([np.asarray(xs), np.asarray(ys)], axis=-1)
+
+
 def animate_xy(trk, x_glob, mask=None, pred_glob: Optional[Sequence] = None,
                gif_path: Optional[str] = None, stride: int = 2, fps: int = 10):
     """Car + (optional) predicted-trajectory playback on the track
