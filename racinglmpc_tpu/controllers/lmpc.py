@@ -103,8 +103,14 @@ def add_trajectory(ss: SafeSet, x: jnp.ndarray, u: jnp.ndarray,
 
     ``x``/``u``/``x_glob`` may be shorter than ``max_pts``; rows ≥ ``steps``
     are ignored. Pure and jittable (called once per lap).
+
+    Capacity guard: once ``n_laps == max_laps`` the newest lap overwrites the
+    last slot and ``n_laps`` stays capped, so ``select_terminal_set``'s
+    most-recent-lap test (``order == n_laps - 1``) keeps matching the slot
+    that actually holds the current lap.
     """
-    slot = ss.n_laps
+    max_laps = ss.x.shape[0]
+    slot = jnp.minimum(ss.n_laps, max_laps - 1)
     T = ss.x.shape[1]
     steps = jnp.minimum(steps, T)
     pad = lambda a, w: jnp.zeros((T, w), dtype=ss.x.dtype).at[: a.shape[0]].set(  # noqa: E731
@@ -119,7 +125,7 @@ def add_trajectory(ss: SafeSet, x: jnp.ndarray, u: jnp.ndarray,
         qfun=ss.qfun.at[slot].set(qf),
         n_pts=ss.n_pts.at[slot].set(steps.astype(jnp.int32)),
         lap_time=ss.lap_time.at[slot].set(steps.astype(jnp.int32)),
-        n_laps=ss.n_laps + 1,
+        n_laps=jnp.minimum(ss.n_laps + 1, max_laps),
     )
 
 
@@ -154,7 +160,10 @@ def _select_lap_points(ss: SafeSet, lap: jnp.ndarray, zt: jnp.ndarray, P: int):
     d = jnp.where(jnp.arange(xs.shape[0]) < n, d, jnp.inf)
     m = jnp.argmin(d).astype(jnp.int32)
     half = P // 2
-    start = jnp.where(m - half >= 0, m - half, m)
+    # Reference branch condition is `MinNorm - numPoints/2 >= 0` with the
+    # FLOAT numPoints/2 = 6.5 (:492), so the centered window needs m >= 7;
+    # at m == half the reference still takes the forward window.
+    start = jnp.where(m - half >= 1, m - half, m)
     idx = jnp.clip(start + jnp.arange(P), 0, jnp.maximum(n - 1, 0))
     return xs[idx], ss.u[lap][idx], ss.qfun[lap][idx]
 

@@ -101,7 +101,10 @@ def _kernel(P_ref, Kinv_ref, A_ref, vec_ref, x_ref, z_ref, y_ref,
         ) * c_inv
         return pri, dua, pri_sc, dua_sc
 
-    n_chunks = max(max_iter // check_every, 1)
+    # ceil-division with a last-chunk clamp so exactly max_iter iterations
+    # run, matching the XLA path's accounting (max_iter need not be a
+    # multiple of check_every)
+    n_chunks = max(-(-max_iter // check_every), 1)
 
     def cond(st):
         _, _, _, k, done, _, _, _ = st
@@ -109,14 +112,16 @@ def _kernel(P_ref, Kinv_ref, A_ref, vec_ref, x_ref, z_ref, y_ref,
 
     def body(st):
         x, z, y, k, done, pri, dua, iters = st
+        this_chunk = jnp.minimum(check_every, max_iter - k * check_every)
         x, z, y = jax.lax.fori_loop(
-            0, check_every, lambda _, s: one_iter(*s), (x, z, y)
+            0, this_chunk, lambda _, s: one_iter(*s), (x, z, y)
         )
         pri, dua, pri_sc, dua_sc = residuals(x, y)
         ok = jnp.logical_and(pri < eps_abs + eps_rel * pri_sc,
                              dua < eps_abs + eps_rel * dua_sc)
         newly = jnp.logical_and(ok, jnp.logical_not(done))
-        iters = jnp.where(newly, (k + 1) * check_every, iters)
+        done_iters = jnp.minimum((k + 1) * check_every, max_iter)
+        iters = jnp.where(newly, done_iters, iters)
         return (x, z, y, k + 1, jnp.logical_or(done, ok), pri, dua, iters)
 
     x0, z0, y0 = x_ref[:], z_ref[:], y_ref[:]

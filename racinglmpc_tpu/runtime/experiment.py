@@ -288,6 +288,12 @@ def run_experiment(
     if "lmpc" in want:
         log("Starting LMPC")
         lcfg = dataclasses.replace(cfg.lmpc, N=cfg.N)
+        if cfg.n_lmpc_laps + lcfg.num_ss_it > lcfg.max_laps:
+            raise ValueError(
+                f"n_lmpc_laps ({cfg.n_lmpc_laps}) + num_ss_it "
+                f"({lcfg.num_ss_it}) exceeds the safe-set capacity "
+                f"lmpc.max_laps ({lcfg.max_laps}); raise max_laps"
+            )
         lmpc_step = lmpc_mod.make_lmpc(lcfg, trk, cfg.solver, sim.dt, dtype=dtype)
 
         @jax.jit
@@ -318,7 +324,7 @@ def run_experiment(
         # the first LMPC lap starts from the initial condition: the reference
         # re-passes xS — still [x0, x0] — to LMPCsimulator.sim (main.py:113-115);
         # subsequent laps continue from the wrapped crossing state.
-        plant = initial_plant(batch, dtype=dtype)
+        plant = plant0
         lmpc_laps = []
         lap_steps_l, lap_times_l = [], []
         lap_keys = jax.random.split(keys[3], cfg.n_lmpc_laps)

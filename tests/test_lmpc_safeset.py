@@ -104,6 +104,21 @@ def test_select_window_centered_and_forward():
         lmpc_mod._select_lap_points(ss, jnp.int32(0), jnp.asarray(zt), P),
     )
     np.testing.assert_allclose(pts[:, 4], np.arange(2, 15, dtype=float))
+    # boundary: nearest index exactly P//2 = 6 -> the reference's FLOAT
+    # condition (6 - 6.5 >= 0 is false) still picks the forward window 6..18
+    zt[4] = 6.0
+    pts, _, _ = jax.tree_util.tree_map(
+        np.asarray,
+        lmpc_mod._select_lap_points(ss, jnp.int32(0), jnp.asarray(zt), P),
+    )
+    np.testing.assert_allclose(pts[:, 4], np.arange(6, 19, dtype=float))
+    # one past the boundary: nearest index 7 -> centered window 1..13
+    zt[4] = 7.0
+    pts, _, _ = jax.tree_util.tree_map(
+        np.asarray,
+        lmpc_mod._select_lap_points(ss, jnp.int32(0), jnp.asarray(zt), P),
+    )
+    np.testing.assert_allclose(pts[:, 4], np.arange(1, 14, dtype=float))
     # clamp: nearest at the very end -> indices clamped to steps-1
     zt[4] = 59.0
     pts, _, _ = jax.tree_util.tree_map(
