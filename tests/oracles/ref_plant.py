@@ -31,10 +31,15 @@ def np_curvature_fn(trk):
     return f
 
 
-def plant_step(x, x_glob, u, curvature_fn, dt=0.1, substeps=100):
-    """One noise-free control step: `substeps` Euler substeps of both frames.
+def plant_step(x, x_glob, u, curvature_fn, dt=0.1, substeps=100, noise=None):
+    """One control step: `substeps` Euler substeps of both frames.
 
     curvature_fn: s -> signed curvature (float64).
+    ``noise``: optional length-3 array added as ``0.01 * noise`` to
+    (vx, vy, wz) of the curvilinear state after the substeps — the
+    reference's per-control-step noise injection point (SysModel.py:139-145)
+    with the clipped Gaussian supplied by the caller so parity tests can
+    share one noise sequence across implementations.
     Returns (x_next, x_glob_next).
     """
     x = np.array(x, dtype=np.float64)
@@ -70,6 +75,9 @@ def plant_step(x, x_glob, u, curvature_fn, dt=0.1, substeps=100):
             s + dT * sdot,
             ey + dT * (vx * np.sin(epsi) + vy * np.cos(epsi)),
         ])
+    if noise is not None:
+        x = x.copy()
+        x[:3] += 0.01 * np.asarray(noise, dtype=np.float64)
     return x, g
 
 
