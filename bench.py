@@ -38,11 +38,12 @@ BASELINE_SOLVES_PER_S = 45.0  # reference single-problem CPU (SURVEY §6)
 
 
 def main(batch: int = 256, steps: int = 50, reps: int = 3,
-         verbose: bool = False) -> dict:
+         verbose: bool = False, pallas_rollout: bool = True) -> dict:
     log = (lambda *a: print(*a, file=sys.stderr)) if verbose else (lambda *a: None)
     cfg = exp.ExperimentConfig(
         stage_steps=450,
         solver=SolverConfig.throughput(),
+        sim=SimConfig(use_pallas_rollout=pallas_rollout),
         lmpc=LMPCConfig(max_laps=12, max_pts=1024, model_pts=512),
     )
     trk = track_mod.make_track()
@@ -78,15 +79,29 @@ def main(batch: int = 256, steps: int = 50, reps: int = 3,
             state, plant = carry
             k = jax.random.fold_in(key, t)
             kc, kp = jax.random.split(k)
-
-            def one(st, pl, kc, kp):
-                st2, u = step(st, pl.x, kc)
-                pl2 = plant_step(pl, u, vp, trk, cfg.sim, kp)
-                return st2, pl2
-
             kcs = jax.random.split(kc, state.time_step.shape[0])
             kps = jax.random.split(kp, state.time_step.shape[0])
-            state, plant = jax.vmap(one)(state, plant, kcs, kps)
+
+            state, u = jax.vmap(step)(state, plant.x, kcs)
+            if cfg.sim.use_pallas_rollout:
+                # fused VMEM-resident rollout for the whole batch
+                from racinglmpc_tpu.ops.pallas_rollout import plant_step_batch
+
+                nx, nxg = plant_step_batch(
+                    plant.x, plant.x_glob, u, vp, trk, cfg.sim
+                )
+                if cfg.sim.noise:
+                    sig = jnp.asarray(cfg.sim.noise_sigma, dtype=nx.dtype)
+                    raw = jax.vmap(
+                        lambda kk: jax.random.normal(kk, (3,), dtype=nx.dtype)
+                    )(kps) * sig
+                    nx = nx.at[:, :3].add(cfg.sim.noise_gain * jnp.clip(
+                        raw, -cfg.sim.noise_clip, cfg.sim.noise_clip))
+                plant = PlantState(x=nx, x_glob=nxg)
+            else:
+                plant = jax.vmap(
+                    lambda pl, uu, kk: plant_step(pl, uu, vp, trk, cfg.sim, kk)
+                )(plant, u, kps)
             return (state, plant), None
 
         (state, plant), _ = jax.lax.scan(
@@ -124,4 +139,5 @@ def main(batch: int = 256, steps: int = 50, reps: int = 3,
 if __name__ == "__main__":
     verbose = "-v" in sys.argv
     batch = int(sys.argv[sys.argv.index("--batch") + 1]) if "--batch" in sys.argv else 256
-    main(batch=batch, verbose=verbose)
+    main(batch=batch, verbose=verbose,
+         pallas_rollout="--no-pallas-rollout" not in sys.argv)

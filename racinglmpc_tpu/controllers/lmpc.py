@@ -38,7 +38,9 @@ from racinglmpc_tpu.models import sysid, track as track_mod
 from racinglmpc_tpu.ops import qp as qp_mod
 from racinglmpc_tpu.utils.config import LMPCConfig, SolverConfig
 
-_EMPTY_TIME = jnp.int32(2**30)   # lap-time sentinel for unused slots
+# plain int (NOT a jnp scalar): module import must not initialize the XLA
+# backend — multi-host jobs call jax.distributed.initialize after importing
+_EMPTY_TIME = 2**30              # lap-time sentinel for unused slots
 _PAD_QFUN = 10000.0              # reference computeCost init value (:469)
 
 

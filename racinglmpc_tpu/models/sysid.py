@@ -34,7 +34,8 @@ import jax.numpy as jnp
 from racinglmpc_tpu.models import track as track_mod
 from racinglmpc_tpu.utils.config import LMPCConfig
 
-_EMPTY = jnp.int32(2**30)  # sentinel length for empty slots ("infinitely slow")
+# plain int (NOT a jnp scalar): importing must not initialize the XLA backend
+_EMPTY = 2**30  # sentinel length for empty slots ("infinitely slow")
 
 
 # ---------------------------------------------------------------------------

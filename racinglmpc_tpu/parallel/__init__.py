@@ -1,6 +1,7 @@
 from racinglmpc_tpu.parallel.mesh import (  # noqa: F401
     SCENARIO_AXIS,
     cross_scenario_metrics,
+    init_multi_host,
     make_mesh,
     replicated_sharding,
     scenario_sharding,

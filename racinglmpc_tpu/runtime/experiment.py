@@ -100,7 +100,21 @@ def _stage_result(res: loop_mod.LapResult) -> StageResult:
 
 
 def _batched_runner(step_fn, trk, vp, sim_cfg, max_steps, multi_lap):
-    """jit(vmap) of run_lap with per-scenario (ctrl, plant, key, done0)."""
+    """Batched lap runner: jit(vmap(run_lap)), or the fused Pallas-rollout
+    variant when ``sim_cfg.use_pallas_rollout`` (scalar vehicle params only —
+    a batched ``vp`` falls back to the vmapped path)."""
+    scalar_vp = all(
+        jnp.ndim(leaf) == 0 for leaf in jax.tree_util.tree_leaves(vp)
+    )
+    if sim_cfg.use_pallas_rollout and scalar_vp:
+        def f(ctrl_state, plant, keys, done0, step0):
+            return loop_mod.run_lap_fused(
+                step_fn, ctrl_state, plant, keys, trk=trk, vp=vp,
+                sim_cfg=sim_cfg, max_steps=max_steps, multi_lap=multi_lap,
+                done0=done0, step0=step0,
+            )
+
+        return jax.jit(f)
 
     def f(ctrl_state, plant, key, done0, step0):
         return loop_mod.run_lap(
@@ -170,6 +184,9 @@ def run_experiment(
     dtype=jnp.float32,
     mesh=None,
     verbose: bool = False,
+    checkpoint_dir: Optional[str] = None,
+    checkpoint_every: int = 1,
+    resume: bool = False,
 ) -> ExperimentResult:
     """Run the (selected stages of the) reference experiment, batched.
 
@@ -181,6 +198,15 @@ def run_experiment(
     when given, every scenario-batched input is sharded on its leading axis
     and each stage's jitted program runs SPMD across the mesh (``batch`` must
     be divisible by the device count).
+
+    ``checkpoint_dir``: when set, the LMPC stage writes an atomic
+    ``lmpc.npz`` checkpoint (controller state + plant + lap index) every
+    ``checkpoint_every`` completed laps. With ``resume=True`` an existing
+    checkpoint is loaded and the lap loop continues after its lap; per-lap
+    PRNG keys are derived by ``fold_in`` on the lap index, so a resumed run
+    reproduces the uninterrupted run exactly (the returned per-lap results
+    then cover only the remaining laps). The reference has no equivalent
+    (SURVEY §5.4).
     """
     if trk is None:
         trk = make_track(dtype=dtype)
@@ -327,10 +353,29 @@ def run_experiment(
         plant = plant0
         lmpc_laps = []
         lap_steps_l, lap_times_l = [], []
-        lap_keys = jax.random.split(keys[3], cfg.n_lmpc_laps)
-        for it in range(cfg.n_lmpc_laps):
+        start_lap = 0
+        ckpt_path = None
+        if checkpoint_dir is not None:
+            import os
+
+            from racinglmpc_tpu.runtime import checkpoint
+
+            os.makedirs(checkpoint_dir, exist_ok=True)
+            ckpt_path = os.path.join(checkpoint_dir, "lmpc")
+            if resume and os.path.exists(ckpt_path + ".npz"):
+                (lmpc_state, plant), _, last_lap = checkpoint.load(
+                    ckpt_path, (lmpc_state, plant)
+                )
+                lmpc_state = shard(lmpc_state)
+                plant = shard(plant)
+                start_lap = last_lap + 1
+                log(f"Resumed from checkpoint after lap {last_lap}")
+        for it in range(start_lap, cfg.n_lmpc_laps):
+            # per-lap key by fold_in (not split(n_laps)) so the stream does
+            # not depend on n_lmpc_laps — checkpointed runs resume exactly
+            lap_key = jax.random.fold_in(keys[3], it)
             sr, lmpc_state = run_lap_chunked(
-                runner, lmpc_state, plant, split_b(lap_keys[it]),
+                runner, lmpc_state, plant, split_b(lap_key),
                 cfg.lap_max_steps, cfg.lap_chunk, cfg.lap_max_steps,
             )
             # next lap starts from the crossing state, s-wrapped (SysModel.py:50)
@@ -349,6 +394,11 @@ def run_experiment(
             lap_times_l.append(np.asarray(jax.device_get(q0)) * sim.dt)
             log(f"Completed lap {it}: steps={lap_steps_l[-1]}, "
                 f"time={np.round(lap_times_l[-1], 2)} s")
+            if ckpt_path is not None and (
+                (it + 1) % checkpoint_every == 0
+                or it == cfg.n_lmpc_laps - 1
+            ):
+                checkpoint.save(ckpt_path, (lmpc_state, plant), keys[3], it)
         lap_steps = np.stack(lap_steps_l, axis=1)
         lap_times = np.stack(lap_times_l, axis=1)
 

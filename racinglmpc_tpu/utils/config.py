@@ -68,6 +68,12 @@ class SimConfig:
     noise_sigma: Tuple[float, float, float] = (0.01, 0.01, 0.005)
     noise_clip: float = 0.05
     noise_gain: float = 0.01
+    # fused Pallas plant-rollout kernel (ops/pallas_rollout.py): the whole
+    # batch's 100 substeps run VMEM-resident per control step instead of a
+    # vmapped fori_loop. float32 + scalar VehicleParams only;
+    # pallas_interpret forces interpreter mode (CPU tests).
+    use_pallas_rollout: bool = False
+    pallas_interpret: bool = False
 
     @property
     def delta_t(self) -> float:

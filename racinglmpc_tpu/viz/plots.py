@@ -159,3 +159,88 @@ def animate_xy(trk, x_glob, mask=None, pred_glob: Optional[Sequence] = None,
     if gif_path is not None:
         anim.save(gif_path, writer=PillowWriter(fps=fps))
     return anim
+
+
+def animate_states(trk, x, u, x_glob, mask=None,
+                   x_pred_archive=None, u_pred_archive=None,
+                   dt: float = 0.1, gif_path: Optional[str] = None,
+                   stride: int = 2, fps: int = 10):
+    """Animated per-state panels + XY view over one lap.
+
+    Working equivalent of the reference's ``animation_states``
+    (`/root/reference/src/fnc/plot.py:177-289`), which indexes a stale 3-D
+    safe-set layout and cannot run against the current storage (it is dead
+    code there). Layout: the closed-loop time series of the 5 tracked states
+    and 2 inputs with a moving cursor, the per-step *predicted* horizon
+    overlaid when archives are given (``LapResult.collected`` from
+    ``collect_fn=lambda st: (st.x_pred, st.u_pred)``), and the XY track view
+    with the car.
+
+    Returns the FuncAnimation; saves a GIF when ``gif_path`` is given.
+    """
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from matplotlib.animation import FuncAnimation, PillowWriter
+
+    x = np.asarray(x)
+    u = np.asarray(u)
+    x_glob = np.asarray(x_glob)
+    if mask is not None:
+        m = np.asarray(mask)
+        x, u, x_glob = x[m], u[m], x_glob[m]
+        if x_pred_archive is not None:
+            x_pred_archive = np.asarray(x_pred_archive)[m]
+        if u_pred_archive is not None:
+            u_pred_archive = np.asarray(u_pred_archive)[m]
+    T = x.shape[0]
+    t = np.arange(T) * dt
+
+    fig = plt.figure(figsize=(14, 9))
+    gs = fig.add_gridspec(4, 4)
+    panels = [  # (grid cell, source, column, label)
+        (gs[0, 0], "x", 0, "$v_x$ [m/s]"),
+        (gs[0, 1], "x", 1, "$v_y$ [m/s]"),
+        (gs[1, 0], "x", 2, "$\\omega_z$ [rad/s]"),
+        (gs[1, 1], "x", 3, "$e_\\psi$ [rad]"),
+        (gs[2, 0], "x", 5, "$e_y$ [m]"),
+        (gs[2, 1], "u", 0, "$\\delta$ [rad]"),
+        (gs[3, 0], "u", 1, "$a$ [m/s$^2$]"),
+    ]
+    cursors, preds = [], []
+    for cell, src, col, label in panels:
+        ax = fig.add_subplot(cell)
+        series = x[:, col] if src == "x" else u[:, col]
+        ax.plot(t[: series.shape[0]], series, "-", color="0.6", linewidth=1)
+        cur, = ax.plot([], [], "o", color="tab:blue", markersize=5)
+        pl, = ax.plot([], [], "-*", color="tab:green", markersize=3)
+        ax.set_ylabel(label, fontsize=8)
+        cursors.append((cur, src, col))
+        preds.append((pl, src, col))
+    ax_xy = fig.add_subplot(gs[:, 2:])
+    plot_track(trk, ax=ax_xy)
+    trail, = ax_xy.plot([], [], "-", color="tab:red", linewidth=1.0)
+    car, = ax_xy.plot([], [], "o", color="tab:blue", markersize=6)
+
+    def update(i):
+        artists = []
+        for cur, src, col in cursors:
+            series = x[:, col] if src == "x" else u[:, col]
+            j = min(i, series.shape[0] - 1)
+            cur.set_data([t[j]], [series[j]])
+            artists.append(cur)
+        for pl, src, col in preds:
+            arch = x_pred_archive if src == "x" else u_pred_archive
+            if arch is not None and i < len(arch):
+                horizon = np.asarray(arch[i])[:, col]
+                pl.set_data(t[i] + dt * np.arange(horizon.shape[0]), horizon)
+            artists.append(pl)
+        trail.set_data(x_glob[: i + 1, 4], x_glob[: i + 1, 5])
+        car.set_data([x_glob[i, 4]], [x_glob[i, 5]])
+        artists += [trail, car]
+        return artists
+
+    anim = FuncAnimation(fig, update, frames=range(0, T, stride), blit=True)
+    if gif_path is not None:
+        anim.save(gif_path, writer=PillowWriter(fps=fps))
+    return anim

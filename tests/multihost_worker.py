@@ -1,0 +1,53 @@
+"""Worker process for the 2-process multi-host test (run via subprocess).
+
+Each worker owns 4 virtual CPU devices; ``jax.distributed.initialize`` joins
+them into one 8-device job, the scenario mesh spans both processes (the DCN
+analog), and the sharded PID stage runs SPMD. Prints one RESULT line the
+driver compares across processes and against a single-process run.
+
+Usage: python multihost_worker.py <port> <process_id> <num_processes>
+"""
+import os
+import sys
+
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+
+from racinglmpc_tpu.parallel import init_multi_host, make_mesh  # noqa: E402
+
+
+def main():
+    port, pid, nproc = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+    n = init_multi_host(f"localhost:{port}", num_processes=nproc,
+                        process_id=pid)
+    # import the framework only after jax.distributed.initialize: nothing in
+    # the package may touch the XLA backend at import time
+    from racinglmpc_tpu.runtime import experiment as exp
+    assert n == nproc, f"process_count {n} != {nproc}"
+    assert jax.process_count() == nproc
+    assert len(jax.devices()) == 4 * nproc, len(jax.devices())
+    assert len(jax.local_devices()) == 4
+
+    mesh = make_mesh()  # spans all 8 devices across both processes
+    cfg = exp.ExperimentConfig(stage_steps=120)
+    res = exp.run_experiment(
+        jax.random.PRNGKey(0), cfg, batch=8, stages="pid", mesh=mesh
+    )
+    # cross-process reductions (XLA collectives over the scenario axis);
+    # per-shard leaves are not addressable from one process, so only
+    # replicated reduction results are pulled to the host
+    final_s = res.pid.x[:, -1, 4]
+    mean_s = float(jax.numpy.mean(final_s))
+    steps_ok = bool(jax.numpy.all(res.pid.steps == 120))
+    print(f"RESULT pid={pid} mean_s={mean_s:.6f} steps_ok={steps_ok}",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()

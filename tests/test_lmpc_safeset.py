@@ -195,3 +195,55 @@ def test_add_trajectory_seeds_linearization():
         jnp.int32(T), L,
     )
     np.testing.assert_allclose(np.asarray(st2.x_lin), x[1:cfg.N + 2])
+
+
+def test_add_point_at_capacity_drops_writes_but_stays_consistent():
+    """A lap stored near max_pts: addPoint appends until the buffer is full,
+    then silently drops writes — n_pts stays at capacity and the stored data
+    (incl. the selection windows read from it) is unchanged."""
+    max_pts = 48
+    steps = 45
+    x = np.zeros((steps, 6))
+    x[:, 4] = np.linspace(0, L, steps)
+    u = np.ones((steps, 2))
+    ss = lmpc_mod.make_safe_set(4, max_pts, dtype=jnp.float64)
+    ss = lmpc_mod.add_trajectory(ss, jnp.asarray(x), jnp.asarray(u),
+                                 jnp.asarray(x), jnp.int32(steps), L)
+
+    xp = np.array([0.5, 0.0, 0.0, 0.0, 0.3, 0.0])
+    up = np.array([0.1, 0.9])
+    for i in range(6):  # 45 + 3 fills the buffer; 3 more writes must drop
+        xp[4] = 0.3 + 0.1 * i
+        ss = lmpc_mod.add_point(ss, jnp.asarray(xp), jnp.asarray(up), L)
+    assert int(ss.n_pts[0]) == max_pts
+    # the last in-capacity append is intact (not overwritten by the drops)
+    np.testing.assert_allclose(float(ss.x[0, max_pts - 1, 4]), 0.5 + L)
+    # Qfun still strictly decreasing across the appended region
+    q = np.asarray(ss.qfun[0, steps - 1: max_pts])
+    np.testing.assert_allclose(np.diff(q), -1.0)
+    # a selection window near the end clamps instead of reading junk
+    zt = jnp.asarray(xp)
+    pts, _, _ = lmpc_mod._select_lap_points(ss, jnp.int32(0), zt, 13)
+    assert np.all(np.isfinite(np.asarray(pts)))
+
+
+def test_add_trajectory_at_max_laps_overwrites_last_slot():
+    """Capacity guard (ADVICE round 1): once n_laps == max_laps the newest
+    lap overwrites the last slot and n_laps stays capped, keeping the
+    most-recent-lap test in select_terminal_set correct."""
+    max_laps = 3
+    steps = 20
+    x = np.zeros((steps, 6))
+    x[:, 4] = np.linspace(0, L, steps)
+    u = np.zeros((steps, 2))
+    ss = lmpc_mod.make_safe_set(max_laps, 64, dtype=jnp.float64)
+    for k in range(max_laps + 2):  # two laps past capacity
+        xk = x.copy()
+        xk[:, 0] = float(k)  # tag each lap by vx
+        ss = lmpc_mod.add_trajectory(ss, jnp.asarray(xk), jnp.asarray(u),
+                                     jnp.asarray(xk), jnp.int32(steps - k), L)
+    assert int(ss.n_laps) == max_laps
+    # last slot holds the newest lap (tag 4), earlier slots unchanged
+    assert float(ss.x[max_laps - 1, 0, 0]) == max_laps + 1
+    assert float(ss.x[0, 0, 0]) == 0.0
+    assert int(ss.lap_time[max_laps - 1]) == steps - (max_laps + 1)

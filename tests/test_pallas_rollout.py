@@ -39,6 +39,41 @@ def test_pallas_rollout_matches_xla_plant():
                                rtol=2e-5, atol=2e-5)
 
 
+def test_run_lap_fused_matches_vmapped_runner():
+    """The batch-level fused runner (product path for use_pallas_rollout)
+    reproduces vmap(run_lap): same step counts, same noise stream, states
+    within the kernel's float32 tolerance."""
+    from racinglmpc_tpu.controllers.pid import make_pid_controller
+    from racinglmpc_tpu.runtime.loop import run_lap_batch, run_lap_fused
+
+    trk = track_mod.make_track(dtype=jnp.float32)
+    vp = VehicleParams()
+    cfg = SimConfig(noise=True, pallas_interpret=True)
+    B, T = 4, 60
+    step, _ = make_pid_controller(vt=0.8, noise=True)
+    x0 = np.zeros((B, 6), np.float32)
+    x0[:, 0] = [0.4, 0.5, 0.6, 0.8]
+    plants = PlantState(x=jnp.asarray(x0), x_glob=jnp.asarray(x0))
+    keys = jax.random.split(jax.random.PRNGKey(11), B)
+    ctrl0 = jnp.zeros((B, 0))
+
+    ref = run_lap_batch(step, ctrl0, plants, keys, trk=trk, vp=vp,
+                        sim_cfg=cfg, max_steps=T)
+    fused = run_lap_fused(step, ctrl0, plants, keys, trk=trk, vp=vp,
+                          sim_cfg=cfg, max_steps=T)
+
+    np.testing.assert_array_equal(np.asarray(fused.steps),
+                                  np.asarray(ref.steps))
+    np.testing.assert_array_equal(np.asarray(fused.mask), np.asarray(ref.mask))
+    np.testing.assert_allclose(np.asarray(fused.x), np.asarray(ref.x),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(fused.u), np.asarray(ref.u),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(fused.x_final.x),
+                               np.asarray(ref.x_final.x),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_pallas_rollout_wraps_s_past_track_length():
     trk = track_mod.make_track(dtype=jnp.float32)
     vp = VehicleParams()

@@ -7,6 +7,7 @@ import numpy as np
 
 from racinglmpc_tpu.models import track as track_mod
 from racinglmpc_tpu.viz import (
+    animate_states,
     animate_xy,
     plot_closed_loop,
     plot_lap_times,
@@ -49,5 +50,21 @@ def test_animation_gif(tmp_path):
     _, _, xg = _fake_lap(T=12)
     gif = str(tmp_path / "lap.gif")
     animate_xy(trk, xg, gif_path=gif, stride=4)
+    import os
+    assert os.path.getsize(gif) > 0
+
+
+def test_animate_states_gif(tmp_path):
+    """animation_states equivalent (the reference's is dead code): per-state
+    panels + XY view with the predicted horizon overlaid."""
+    trk = track_mod.make_track()
+    x, u, xg = _fake_lap(T=12)
+    # fake per-step predicted-horizon archives (T, N+1, 6) / (T, N, 2)
+    x_pred = np.repeat(x[:, None, :], 5, axis=1)
+    u_pred = np.repeat(u[:, None, :], 4, axis=1)
+    gif = str(tmp_path / "states.gif")
+    anim = animate_states(trk, x, u, xg, x_pred_archive=x_pred,
+                          u_pred_archive=u_pred, gif_path=gif, stride=4)
+    assert anim is not None
     import os
     assert os.path.getsize(gif) > 0
