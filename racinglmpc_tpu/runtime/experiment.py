@@ -84,6 +84,10 @@ class ExperimentResult(NamedTuple):
     lmpc_state: Optional[lmpc_mod.LMPCState]
     A_lti: Optional[jnp.ndarray]
     B_lti: Optional[jnp.ndarray]
+    # wall-clock seconds per LMPC lap (host-observed, synced at each lap's
+    # end) — per-step latency = lap_wall_s[i] / mean lap steps; feeds the
+    # true-p99 latency report (metrics.latency_report)
+    lap_wall_s: Optional[np.ndarray] = None
 
 
 def initial_plant(batch: int, dtype=jnp.float32) -> PlantState:
@@ -370,7 +374,11 @@ def run_experiment(
                 plant = shard(plant)
                 start_lap = last_lap + 1
                 log(f"Resumed from checkpoint after lap {last_lap}")
+        lap_wall_l: List[float] = []
+        import time as _time
+
         for it in range(start_lap, cfg.n_lmpc_laps):
+            _t0 = _time.time()
             # per-lap key by fold_in (not split(n_laps)) so the stream does
             # not depend on n_lmpc_laps — checkpointed runs resume exactly
             lap_key = jax.random.fold_in(keys[3], it)
@@ -388,6 +396,7 @@ def run_experiment(
             )
             lmpc_laps.append(sr)
             lap_steps_l.append(np.asarray(jax.device_get(sr.steps)))
+            lap_wall_l.append(_time.time() - _t0)  # device_get above syncs
             # lap time as printed by the reference: Qfun[it][0]*dt (main.py:120)
             slot = lmpc_state.ss.n_laps - 1
             q0 = jax.vmap(lambda ss, sl: ss.qfun[sl, 0])(lmpc_state.ss, slot)
@@ -406,4 +415,6 @@ def run_experiment(
         pid=pid_sr, lti=lti_sr, ltv=ltv_sr, lmpc_laps=lmpc_laps,
         lap_steps=lap_steps, lap_times=lap_times, lmpc_state=lmpc_state,
         A_lti=A_lti, B_lti=B_lti,
+        lap_wall_s=(np.asarray(lap_wall_l)
+                    if "lmpc" in want and lap_steps is not None else None),
     )

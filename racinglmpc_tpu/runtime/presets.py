@@ -82,4 +82,18 @@ def run_preset(name: str, seed: int = 0, scale_batch: float = 1.0,
         )
         total_steps = int(res.lap_steps.sum())
         out["lmpc_steps_per_s"] = round(total_steps / wall, 1)
+        if res.lap_wall_s is not None and len(res.lap_wall_s):
+            # TRUE batched-step wall latency: one control step for the whole
+            # batch (lap wall / steps that lap), percentiles across laps —
+            # not the per-scenario amortized number
+            from racinglmpc_tpu.runtime.metrics import latency_report
+
+            # executed batched steps per lap = whole chunks until the last
+            # scenario crossed (host early-exit granularity)
+            ch = cfg.lap_chunk
+            max_steps = res.lap_steps.max(axis=0)[-len(res.lap_wall_s):]
+            executed = np.ceil(np.maximum(max_steps, 1) / ch) * ch
+            out["batched_step_latency"] = latency_report(
+                res.lap_wall_s / executed
+            )
     return out
