@@ -117,7 +117,7 @@ def main():
     real_solve = qp_mod.solve
     real_addpoint = lmpc_mod.add_point
 
-    def stub_select(ss, zt, x_pred, time_step, cfg_l, L):
+    def stub_select(ss, ext, zt, x_pred, time_step, cfg_l, L):
         K = cfg_l.num_ss_points
         dt = zt.dtype
         pts = jnp.broadcast_to(zt[:, None], (6, K)).astype(dt)
@@ -139,8 +139,8 @@ def main():
             fac=fac,
         )
 
-    def stub_addpoint(ss, x, u, L):
-        return ss
+    def stub_addpoint(ss, ext, x, u, L):
+        return ext
 
     ns = {"solve": stub_solve}
     variants = {

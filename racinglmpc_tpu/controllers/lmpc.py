@@ -131,70 +131,167 @@ def add_trajectory(ss: SafeSet, x: jnp.ndarray, u: jnp.ndarray,
     )
 
 
-def add_point(ss: SafeSet, x: jnp.ndarray, u: jnp.ndarray, track_len) -> SafeSet:
-    """Append the current closed-loop point to the *previous* lap's safe set
-    with s + TrackLength and decreasing cost-to-go (addPoint :466-476)."""
-    lap = ss.n_laps - 1
-    p = ss.n_pts[lap]
-    cap = ss.x.shape[1]
-    p_c = jnp.minimum(p, cap - 1)  # capacity guard (drops writes when full)
-    x_app = x.astype(ss.x.dtype).at[4].add(jnp.asarray(track_len, ss.x.dtype))
-    q_app = ss.qfun[lap, p_c - 1] - 1.0
-    ok = p < cap
-    return ss._replace(
-        x=ss.x.at[lap, p_c].set(jnp.where(ok, x_app, ss.x[lap, p_c])),
-        u=ss.u.at[lap, p_c].set(jnp.where(ok, u.astype(ss.u.dtype), ss.u[lap, p_c])),
-        qfun=ss.qfun.at[lap, p_c].set(jnp.where(ok, q_app, ss.qfun[lap, p_c])),
-        n_pts=ss.n_pts.at[lap].set(jnp.where(ok, p + 1, p)),
+class ExtBuffer(NamedTuple):
+    """Pending ``add_point`` appends to the most recent lap (addPoint :466-476).
+
+    The reference appends every closed-loop point of lap ``j`` to lap
+    ``j-1``'s safe set. Scattering those appends into the big
+    ``(max_laps, max_pts, ·)`` buffers every control step would drag the
+    whole safe set through the ``lax.scan`` carry (per-step copies of MBs
+    per scenario — the dominant non-solve cost and an HBM blow-up at large
+    batch). Instead appends land in this small extension buffer (part of
+    the scan carry); terminal-set selection reads stored-rows ∪ ext-rows
+    for the most recent lap, and :func:`flush_ext` merges the buffer into
+    the safe set once per lap (so the big buffers stay scan-*constants*).
+    """
+
+    x: jnp.ndarray   # (E, 6) appended states (s already shifted by +L)
+    u: jnp.ndarray   # (E, 2)
+    q: jnp.ndarray   # (E,) cost-to-go continuation
+    n: jnp.ndarray   # () int32 valid rows
+
+
+def make_ext_buffer(cap: int, dtype=jnp.float32) -> ExtBuffer:
+    return ExtBuffer(
+        x=jnp.zeros((cap, 6), dtype=dtype),
+        u=jnp.zeros((cap, 2), dtype=dtype),
+        q=jnp.full((cap,), _PAD_QFUN, dtype=dtype),
+        n=jnp.zeros((), jnp.int32),
     )
 
 
-def _select_lap_points(ss: SafeSet, lap: jnp.ndarray, zt: jnp.ndarray, P: int):
+def add_point(ss: SafeSet, ext: ExtBuffer, x: jnp.ndarray, u: jnp.ndarray,
+              track_len) -> ExtBuffer:
+    """Append the current closed-loop point to the *previous* lap's safe set
+    with s + TrackLength and decreasing cost-to-go (addPoint :466-476).
+
+    Writes go to the extension buffer, not the safe set (see
+    :class:`ExtBuffer`); drops writes when either the buffer or the target
+    lap's remaining capacity is full."""
+    lap = ss.n_laps - 1
+    n0 = ss.n_pts[lap]
+    E = ext.x.shape[0]
+    e = ext.n
+    ok = (e < E) & (n0 + e < ss.x.shape[1])
+    e_c = jnp.minimum(e, E - 1)
+    x_app = x.astype(ss.x.dtype).at[4].add(jnp.asarray(track_len, ss.x.dtype))
+    q_prev = jnp.where(
+        e > 0, ext.q[jnp.maximum(e - 1, 0)],
+        ss.qfun[lap, jnp.maximum(n0 - 1, 0)],
+    )
+    return ExtBuffer(
+        x=ext.x.at[e_c].set(jnp.where(ok, x_app, ext.x[e_c])),
+        u=ext.u.at[e_c].set(jnp.where(ok, u.astype(ext.u.dtype), ext.u[e_c])),
+        q=ext.q.at[e_c].set(jnp.where(ok, q_prev - 1.0, ext.q[e_c])),
+        n=jnp.where(ok, e + 1, e),
+    )
+
+
+def flush_ext(ss: SafeSet, ext: ExtBuffer) -> tuple[SafeSet, ExtBuffer]:
+    """Merge pending appends into the most recent lap's stored rows.
+
+    One dynamic-slice blend + update per buffer instead of a per-step
+    scatter; called between laps (``lmpc_add_trajectory``). Positions beyond
+    the appended rows rewrite the existing (padding) content unchanged."""
+    E = ext.x.shape[0]
+    cap = ss.x.shape[1]
+    lap = jnp.maximum(ss.n_laps - 1, 0)
+    n0 = ss.n_pts[lap]
+    e = ext.n                       # add_point guarantees n0 + e <= cap
+    start = jnp.clip(n0, 0, cap - E)
+    off = n0 - start                # >= 0; block pos i holds ext row i - off
+    i = jnp.arange(E)
+    j = i - off
+    use = (j >= 0) & (j < e)
+    j_c = jnp.clip(j, 0, E - 1)
+
+    zero = jnp.zeros((), lap.dtype)
+
+    def blend(big, ext_rows):
+        width = big.shape[-1] if big.ndim == 3 else None
+        if width is None:
+            blk = jax.lax.dynamic_slice(big, (lap, start), (1, E))[0]
+            new = jnp.where(use, ext_rows[j_c], blk)
+            return jax.lax.dynamic_update_slice(big, new[None], (lap, start))
+        blk = jax.lax.dynamic_slice(big, (lap, start, zero), (1, E, width))[0]
+        new = jnp.where(use[:, None], ext_rows[j_c], blk)
+        return jax.lax.dynamic_update_slice(big, new[None], (lap, start, zero))
+
+    ss2 = ss._replace(
+        x=blend(ss.x, ext.x),
+        u=blend(ss.u, ext.u),
+        qfun=blend(ss.qfun, ext.q),
+        n_pts=ss.n_pts.at[lap].add(e),
+    )
+    return ss2, make_ext_buffer(E, dtype=ext.x.dtype)
+
+
+def _select_lap_points(ss: SafeSet, ext: ExtBuffer, lap: jnp.ndarray,
+                       recent: jnp.ndarray, zt: jnp.ndarray, P: int):
     """L1-nearest window of ``P`` points in one stored lap (selectPoints :478-513).
 
-    Returns (pts (P,6), u_pts (P,2), q_pts (P,)). Window: centered on the
-    nearest point when it fits, else forward from it; indices clamped to the
-    lap's valid rows (see module docstring).
+    For the most recent lap (``recent``), the searchable rows are the stored
+    rows followed by the extension-buffer appends (the reference's SS list
+    grows during the lap). Returns (pts (P,6), u_pts (P,2), q_pts (P,)).
+    Window: centered on the nearest point when it fits, else forward from
+    it; indices clamped to the lap's valid rows (see module docstring).
     """
     xs = ss.x[lap]
+    cap = xs.shape[0]
+    E = ext.x.shape[0]
     n = ss.n_pts[lap]
-    d = jnp.sum(jnp.abs(xs - zt), axis=1)
-    d = jnp.where(jnp.arange(xs.shape[0]) < n, d, jnp.inf)
-    m = jnp.argmin(d).astype(jnp.int32)
+    e_n = jnp.where(recent, ext.n, 0)
+    d_st = jnp.sum(jnp.abs(xs - zt), axis=1)
+    d_st = jnp.where(jnp.arange(cap) < n, d_st, jnp.inf)
+    d_ex = jnp.sum(jnp.abs(ext.x - zt), axis=1)
+    d_ex = jnp.where(jnp.arange(E) < e_n, d_ex, jnp.inf)
+    d = jnp.concatenate([d_st, d_ex])
+    m_phys = jnp.argmin(d).astype(jnp.int32)
+    # physical ext rows sit at cap..cap+E-1; virtually they follow row n-1
+    m = jnp.where(m_phys < cap, m_phys, m_phys - cap + n)
+    n_eff = n + e_n
     half = P // 2
     # Reference branch condition is `MinNorm - numPoints/2 >= 0` with the
     # FLOAT numPoints/2 = 6.5 (:492), so the centered window needs m >= 7;
     # at m == half the reference still takes the forward window.
     start = jnp.where(m - half >= 1, m - half, m)
-    idx = jnp.clip(start + jnp.arange(P), 0, jnp.maximum(n - 1, 0))
-    return xs[idx], ss.u[lap][idx], ss.qfun[lap][idx]
+    idx = jnp.clip(start + jnp.arange(P), 0, jnp.maximum(n_eff - 1, 0))
+    in_st = idx < n
+    st_i = jnp.clip(idx, 0, cap - 1)
+    ex_i = jnp.clip(idx - n, 0, E - 1)
+    pts = jnp.where(in_st[:, None], xs[st_i], ext.x[ex_i])
+    u_pts = jnp.where(in_st[:, None], ss.u[lap][st_i], ext.u[ex_i])
+    q_pts = jnp.where(in_st, ss.qfun[lap][st_i], ext.q[ex_i])
+    return pts, u_pts, q_pts
 
 
-def select_terminal_set(ss: SafeSet, zt: jnp.ndarray, x_pred: jnp.ndarray,
-                        time_step: jnp.ndarray, cfg: LMPCConfig, track_len):
+def select_terminal_set(ss: SafeSet, ext: ExtBuffer, zt: jnp.ndarray,
+                        x_pred: jnp.ndarray, time_step: jnp.ndarray,
+                        cfg: LMPCConfig, track_len):
     """Build the terminal-set data for one solve (addTerminalComponents :395-416).
 
-    Picks the ``num_ss_it`` fastest stored laps, selects a window per lap,
-    applies the Qfun lap-crossing correction (:501-512), and splits each
-    window into safe-set points (first P-1) and their successors (last P-1).
+    Picks the ``num_ss_it`` fastest stored laps, selects a window per lap
+    (the most recent lap includes its pending appends), applies the Qfun
+    lap-crossing correction (:501-512), and splits each window into safe-set
+    points (first P-1) and their successors (last P-1).
 
     Returns (ss_pts (6,K), succ_x (6,K), succ_u (2,K), qfun_sel (K,)).
     """
     P = cfg.points_per_lap  # 13
     order = jnp.argsort(ss.lap_time)[: cfg.num_ss_it]  # fastest laps (:395)
+    recent = order == ss.n_laps - 1                     # (4,)
 
     pts, u_pts, q_pts = jax.vmap(
-        lambda lap: _select_lap_points(ss, lap, zt, P)
-    )(order)                                            # (4,P,6) (4,P,2) (4,P)
+        lambda lap, rec: _select_lap_points(ss, ext, lap, rec, zt, P)
+    )(order, recent)                                    # (4,P,6) (4,P,2) (4,P)
 
     # Qfun lap-crossing correction (:501-512)
     crossed = jnp.any(x_pred[:, 4] > track_len)
     pred_curr = cfg.N - jnp.sum(x_pred[:, 4] > track_len)
-    most_recent = order == ss.n_laps - 1                # (4,)
     corr = jnp.where(
         crossed,
         jnp.where(
-            most_recent,
+            recent,
             (time_step + pred_curr).astype(q_pts.dtype),
             ss.qfun[order, 0],
         ),
@@ -211,9 +308,15 @@ def select_terminal_set(ss: SafeSet, zt: jnp.ndarray, x_pred: jnp.ndarray,
 
 
 class LMPCState(NamedTuple):
-    """Full LMPC controller state (a pytree; vmap a leading batch axis)."""
+    """Full LMPC controller state (a pytree; vmap a leading batch axis).
+
+    ``ss`` and ``store`` are loop-*invariant* during a lap (per-step appends
+    go to ``ext``; see :class:`ExtBuffer`), so XLA keeps the big buffers in
+    place across the closed-loop ``lax.scan`` instead of copying them every
+    step."""
 
     ss: SafeSet
+    ext: "ExtBuffer"        # pending addPoint appends (merged once per lap)
     store: sysid.LapStore   # local system-ID lap store
     u_old: jnp.ndarray      # (2,)
     x_lin: jnp.ndarray      # (N+1, 6)
@@ -241,6 +344,7 @@ def init_lmpc_state(cfg: LMPCConfig, dtype=jnp.float32) -> LMPCState:
     dims = ocp.FTOCPDims(N=cfg.N, K=cfg.num_ss_points)
     return LMPCState(
         ss=make_safe_set(cfg.max_laps, cfg.max_pts, dtype=dtype),
+        ext=make_ext_buffer(cfg.ext_cap, dtype=dtype),
         store=sysid.make_lap_store(cfg.model_laps, cfg.model_pts, dtype=dtype),
         u_old=jnp.zeros(2, dtype=dtype),
         x_lin=jnp.zeros((cfg.N + 1, 6), dtype=dtype),
@@ -266,11 +370,13 @@ def lmpc_add_trajectory(state: LMPCState, cfg: LMPCConfig,
                         x: jnp.ndarray, u: jnp.ndarray, x_glob: jnp.ndarray,
                         steps: jnp.ndarray, track_len,
                         add_to_model: bool = True) -> LMPCState:
-    """Per-lap bookkeeping: store the lap in the safe set (+ model store),
-    seed the linearization trajectory on the first lap (reference :431-433:
-    rows 1..N+1), and reset the step counter (:444-445)."""
-    first = state.ss.n_laps == 0
-    ss = add_trajectory(state.ss, x, u, x_glob, steps, track_len)
+    """Per-lap bookkeeping: flush pending addPoint appends into the previous
+    lap, store the new lap in the safe set (+ model store), seed the
+    linearization trajectory on the first lap (reference :431-433: rows
+    1..N+1), and reset the step counter (:444-445)."""
+    ss0, ext = flush_ext(state.ss, state.ext)
+    first = ss0.n_laps == 0
+    ss = add_trajectory(ss0, x, u, x_glob, steps, track_len)
     store = (
         sysid.add_lap(state.store, x, u, steps) if add_to_model else state.store
     )
@@ -285,7 +391,7 @@ def lmpc_add_trajectory(state: LMPCState, cfg: LMPCConfig,
     x_lin = jnp.where(first, pad_x[1:], state.x_lin)
     u_lin = jnp.where(first, pad_u[1:], state.u_lin)
     return state._replace(
-        ss=ss, store=store, x_lin=x_lin, u_lin=u_lin,
+        ss=ss, ext=ext, store=store, x_lin=x_lin, u_lin=u_lin,
         time_step=jnp.zeros((), jnp.int32),
     )
 
@@ -325,7 +431,7 @@ def make_lmpc(
         x_lin = state.x_lin.at[N, 4].add(jnp.where(wrap, -L, 0.0))
 
         ss_pts, succ_x, succ_u, qfun_sel = select_terminal_set(
-            state.ss, zt, state.x_pred, state.time_step, cfg, L
+            state.ss, state.ext, zt, state.x_pred, state.time_step, cfg, L
         )
 
         A, B, C = sysid.local_linearization_horizon(
@@ -388,10 +494,10 @@ def make_lmpc(
         u_lin_new = jnp.where(
             use_pid, jnp.broadcast_to(u_apply, u_lin_new.shape), u_lin_new
         )
-        ss = add_point(state.ss, x0, u_apply, L)   # addPoint :466-476
+        ext = add_point(state.ss, state.ext, x0, u_apply, L)  # addPoint :466-476
 
         new = LMPCState(
-            ss=ss, store=state.store, u_old=u_apply,
+            ss=state.ss, ext=ext, store=state.store, u_old=u_apply,
             x_lin=x_lin_new, u_lin=u_lin_new,
             x_pred=x_pred, u_pred=u_pred, lam=lam,
             zt=zt_new, zt_u=zt_u_new,

@@ -135,6 +135,12 @@ class LMPCConfig:
     max_pts: int = 2048           # per-lap point capacity (lap steps + addPoint growth)
     model_laps: int = 4           # laps used by the local sys-id (trToUse)
     model_pts: int = 1024         # per-lap capacity in the sys-id store
+    # addPoint extension-buffer capacity: per-step appends land here (part of
+    # the scan carry) and are merged into the safe set once per lap, keeping
+    # the big (max_laps, max_pts, ·) buffers loop-invariant during a lap
+    # (controllers/lmpc.ExtBuffer). Sized for the longest lap (reference
+    # maxSimTime/dt = 1000 steps); clipped to max_pts via ``ext_cap``.
+    ext_pts: int = 1024
 
     # QP-failure recovery: after this many consecutive rejected solves the
     # controller applies the PID law toward fallback_vt instead of holding
@@ -154,6 +160,11 @@ class LMPCConfig:
         # numSS_Points / numSS_it + 1 selected, first 12 used as SS and
         # last 12 as successors (reference PredictiveControllers.py:403-407)
         return self.num_ss_points // self.num_ss_it + 1
+
+    @property
+    def ext_cap(self) -> int:
+        # flush_ext requires the extension buffer to fit inside one lap's rows
+        return min(self.ext_pts, self.max_pts)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -197,6 +208,17 @@ class SolverConfig:
     # TPU; pallas_interpret forces interpreter mode (CPU tests)
     use_pallas: bool = False
     pallas_interpret: bool = False
+    # scenarios per Pallas grid program. S > 1 tiles independent scenarios
+    # into one program so their matvec chains pipeline through the MXU, but
+    # coarsens early exit to tile granularity (a tile runs until its SLOWEST
+    # scenario converges). Measured on the LMPC FTOCP bench (batch 256,
+    # v5e): S=1 5522 solves/s, S=4 4829 — the heavy-tailed iteration
+    # distribution makes per-scenario exit worth more than pipelining, so
+    # the default is 1. (S=4 is the largest tile that fits VMEM: ~2.6 MB
+    # per scenario with pipeline double buffering; S=8 OOMs at 21 MB.)
+    # Batches are padded to a multiple of S with instantly-converging dummy
+    # problems.
+    pallas_block: int = 1
     # controllers accept a solution only if the unscaled primal residual is
     # below this (float32 ADMM stalls on the *dual* residual at ~1e-1 while
     # the primal solution is accurate; divergence shows up as pri >> 1e-2)

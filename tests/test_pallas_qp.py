@@ -44,10 +44,13 @@ def test_pallas_path_matches_xla_path():
         assert float(sp.dua_res) < 1e-2
 
 
-def test_pallas_path_batched_vmap():
+def test_pallas_path_batched_vmap_block1_exact():
+    """With scenario tiling off (block=1) a batched solve is per-problem
+    identical to single solves (same grid-program math)."""
     base = SolverConfig(max_iter=200, polish=False, adaptive_rho=False,
                         eps_abs=1e-4, eps_rel=1e-4,
-                        use_pallas=True, pallas_interpret=True)
+                        use_pallas=True, pallas_interpret=True,
+                        pallas_block=1)
     qps = [_random_qp() for _ in range(4)]
     batched = jax.tree_util.tree_map(lambda *a: jnp.stack(a), *qps)
     sol = jax.vmap(lambda p: qp_mod.solve(p, base))(batched)
@@ -57,6 +60,27 @@ def test_pallas_path_batched_vmap():
         s1 = qp_mod.solve(qp, base)
         np.testing.assert_allclose(
             np.asarray(sol.x[i]), np.asarray(s1.x), rtol=1e-4, atol=1e-5
+        )
+
+
+def test_pallas_path_batched_vmap_tiled():
+    """Scenario-tiled batched solve (incl. the non-divisible-batch padding
+    path): each problem agrees with its single solve to solver tolerance.
+    Tiling can flip chunk-quantized iteration counts (1e-7-level dot-order
+    noise near the residual threshold), so agreement is at tolerance level,
+    not bitwise."""
+    base = SolverConfig(max_iter=200, polish=False, adaptive_rho=False,
+                        eps_abs=1e-4, eps_rel=1e-4,
+                        use_pallas=True, pallas_interpret=True,
+                        pallas_block=4)
+    qps = [_random_qp() for _ in range(5)]   # 5 % 4 != 0: pads with dummies
+    batched = jax.tree_util.tree_map(lambda *a: jnp.stack(a), *qps)
+    sol = jax.vmap(lambda p: qp_mod.solve(p, base))(batched)
+    assert bool(jnp.all(sol.solved))
+    for i, qp in enumerate(qps):
+        s1 = qp_mod.solve(qp, base)
+        np.testing.assert_allclose(
+            np.asarray(sol.x[i]), np.asarray(s1.x), rtol=2e-3, atol=2e-3
         )
 
 

@@ -102,9 +102,14 @@ def test_safe_set_add_point_batchable():
         return lmpc_mod.add_trajectory(st, x, u, x, 10 + 5 * i, 19.23)
 
     ss = jax.vmap(build)(jnp.arange(B))
+    ext = jax.vmap(lambda _: lmpc_mod.make_ext_buffer(8))(jnp.arange(B))
     xp = jnp.tile(jnp.asarray([0.5, 0, 0, 0, 1.0, 0.0]), (B, 1))
     up = jnp.zeros((B, 2))
-    ss2 = jax.vmap(lambda s, x, u: lmpc_mod.add_point(s, x, u, 19.23))(ss, xp, up)
+    ext2 = jax.vmap(
+        lambda s, e, x, u: lmpc_mod.add_point(s, e, x, u, 19.23)
+    )(ss, ext, xp, up)
+    np.testing.assert_array_equal(np.asarray(ext2.n), np.ones(B))
+    ss2, _ = jax.vmap(lmpc_mod.flush_ext)(ss, ext2)
     np.testing.assert_array_equal(
         np.asarray(ss2.n_pts[:, 0]), np.asarray(ss.n_pts[:, 0]) + 1
     )
