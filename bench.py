@@ -38,17 +38,11 @@ BASELINE_SOLVES_PER_S = 45.0  # reference single-problem CPU (SURVEY §6)
 
 
 def main(batch: int = 256, steps: int = 50, reps: int = 3,
-         verbose: bool = False, pallas_rollout: bool = True,
-         pallas_block: int | None = None) -> dict:
-    import dataclasses
-
+         verbose: bool = False, pallas_rollout: bool = True) -> dict:
     log = (lambda *a: print(*a, file=sys.stderr)) if verbose else (lambda *a: None)
-    solver = SolverConfig.throughput()
-    if pallas_block is not None:
-        solver = dataclasses.replace(solver, pallas_block=pallas_block)
     cfg = exp.ExperimentConfig(
         stage_steps=450,
-        solver=solver,
+        solver=SolverConfig.throughput(),
         sim=SimConfig(use_pallas_rollout=pallas_rollout),
         lmpc=LMPCConfig(max_laps=12, max_pts=1024, model_pts=512),
     )
@@ -145,8 +139,5 @@ def main(batch: int = 256, steps: int = 50, reps: int = 3,
 if __name__ == "__main__":
     verbose = "-v" in sys.argv
     batch = int(sys.argv[sys.argv.index("--batch") + 1]) if "--batch" in sys.argv else 256
-    pblock = (int(sys.argv[sys.argv.index("--pallas-block") + 1])
-              if "--pallas-block" in sys.argv else None)
     main(batch=batch, verbose=verbose,
-         pallas_rollout="--no-pallas-rollout" not in sys.argv,
-         pallas_block=pblock)
+         pallas_rollout="--no-pallas-rollout" not in sys.argv)

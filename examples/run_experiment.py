@@ -47,6 +47,15 @@ def main(argv=None):
         print(np.round(res.lap_times, 2))
         mono = np.all(np.diff(res.lap_times, axis=1) <= 0.5)
         print("lap times (approximately) non-increasing:", bool(mono))
+        # guard against silent no-learning regressions (a controller stuck on
+        # the PID fallback also produces flat, "non-increasing" lap times)
+        if res.lap_times.shape[1] >= 3:
+            gain = 1.0 - res.lap_times[:, -1] / res.lap_times[:, 0]
+            print(f"improvement first->last lap: {np.round(100 * gain, 1)} %")
+            if np.any(gain < 0.05):
+                print("WARNING: <5% improvement — LMPC is not learning "
+                      "(solver rejecting every step?)")
+                return 1
     return 0
 
 

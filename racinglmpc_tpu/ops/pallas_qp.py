@@ -18,6 +18,30 @@ Shapes are padded to lane multiples (n -> 256, m -> 384 for the LMPC FTOCP);
 padding rows/cols are zero with l = u = 0 and rho = 1 so padded entries stay
 exactly zero through the iteration (verified in tests).
 
+Design notes from rejected variants (measured on TPU v5e, batch 256 LMPC):
+
+- **K-resident refine**: keeping K = P + sigma I + A' rho A (instead of P)
+  in VMEM shortens the x-update's iterative-refinement chain from 3 matvecs
+  to 1 (measured ~8% step-rate win) — but forming K explicitly in f32 bakes
+  a fixed perturbation dK (rounding of the P + A'rhoA sum) into the refine
+  operator, so refinement converges to (K+dK)^-1 rhs: solution error ~
+  cond(K)*eps_f32 ~ 1e-1 at the FTOCP's cond ~1e6. The 3-matvec form applies
+  the EXACT operator (per-application rounding only, no fixed bias) and is
+  load-bearing for the 1e-4-tolerance presets. Do not re-form K.
+- **Scenario tiling** (S scenarios per grid program, matvecs unrolled so
+  Mosaic pipelines their MXU chains): S=1 5522 solves/s vs S=4 4829 — the
+  heavy-tailed iteration distribution makes per-scenario early exit worth
+  more than the pipelining (a tile runs until its SLOWEST scenario
+  converges); S=8 OOMs VMEM (~21 MB with double buffering).
+- The tiled dispatch needed ``jax.custom_batching.custom_vmap`` (pad batch,
+  regroup as (G, S)); under ``jit(vmap(jit(...)))`` nesting — and in the
+  closed-loop scan of the real experiment — the custom_vmap'd pallas_call
+  SILENTLY returned unwritten output buffers (NaN/zeros) on TPU while
+  interpret-mode unit tests passed. Plain ``vmap`` of a single-scenario
+  ``pallas_call`` (the structure here) is the only dispatch that has proven
+  robust; any future dispatch rework must be validated with an on-TPU
+  closed-loop quality run (lap times must *decrease*), not just unit tests.
+
 Used by ops/qp.py when ``SolverConfig.use_pallas`` is set, the dtype is
 float32, rho is fixed (``adaptive_rho=False``), and the backend is TPU;
 interpret mode covers CPU tests.

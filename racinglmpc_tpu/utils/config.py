@@ -206,19 +206,10 @@ class SolverConfig:
     # VMEM-resident Pallas ADMM kernel (ops/pallas_qp.py): engaged when the
     # dtype is float32, rho is fixed (adaptive_rho=False) and the backend is
     # TPU; pallas_interpret forces interpreter mode (CPU tests)
+    # (scenario tiling — multiple problems per grid program — was tried and
+    # removed: see the design notes in ops/pallas_qp.py)
     use_pallas: bool = False
     pallas_interpret: bool = False
-    # scenarios per Pallas grid program. S > 1 tiles independent scenarios
-    # into one program so their matvec chains pipeline through the MXU, but
-    # coarsens early exit to tile granularity (a tile runs until its SLOWEST
-    # scenario converges). Measured on the LMPC FTOCP bench (batch 256,
-    # v5e): S=1 5522 solves/s, S=4 4829 — the heavy-tailed iteration
-    # distribution makes per-scenario exit worth more than pipelining, so
-    # the default is 1. (S=4 is the largest tile that fits VMEM: ~2.6 MB
-    # per scenario with pipeline double buffering; S=8 OOMs at 21 MB.)
-    # Batches are padded to a multiple of S with instantly-converging dummy
-    # problems.
-    pallas_block: int = 1
     # controllers accept a solution only if the unscaled primal residual is
     # below this (float32 ADMM stalls on the *dual* residual at ~1e-1 while
     # the primal solution is accurate; divergence shows up as pri >> 1e-2)
