@@ -421,6 +421,20 @@ def make_lmpc(
     N = cfg.N
     L = trk.total_len
 
+    if cfg.use_pallas_sysid:
+        from racinglmpc_tpu.ops import pallas_sysid
+
+        def sysid_horizon(store, x_lin, u_lin):
+            return pallas_sysid.local_linearization_horizon(
+                store, trk, x_lin, u_lin, cfg, dt_ctrl,
+                interpret=cfg.sysid_interpret,
+            )
+    else:
+        def sysid_horizon(store, x_lin, u_lin):
+            return sysid.local_linearization_horizon(
+                store, trk, x_lin, u_lin, cfg, dt_ctrl
+            )
+
     def step(state: LMPCState, x0, key: Optional[jax.Array]):
         x0 = x0.astype(dtype)
         # s-wrap zt / last linearization point at lap crossing (:391-394)
@@ -434,9 +448,7 @@ def make_lmpc(
             state.ss, state.ext, zt, state.x_pred, state.time_step, cfg, L
         )
 
-        A, B, C = sysid.local_linearization_horizon(
-            state.store, trk, x_lin[:N], state.u_lin, cfg, dt_ctrl
-        )
+        A, B, C = sysid_horizon(state.store, x_lin[:N], state.u_lin)
         qp = ocp.assemble_qp(
             dims, tmpl, ocp.StageDynamics(A, B, C), x0, state.u_old, cfg.dR,
             ss_points=ss_pts, qfun_sel=qfun_sel,

@@ -155,6 +155,13 @@ class LMPCConfig:
     reg_jitter: float = 1e-9      # numerical jitter for the 5x5 solves (ours)
     feat_scaling: Tuple[float, ...] = (0.1, 1.0, 1.0, 1.0, 1.0)
 
+    # run the whole local sys-ID (kNN + WLS + kinematic rows) as one fused
+    # Pallas kernel (ops/pallas_sysid.py) instead of the vmapped XLA path;
+    # sysid_interpret forces interpreter mode (CPU tests). Requires
+    # model_pts % 128 == 0 and float32 state.
+    use_pallas_sysid: bool = False
+    sysid_interpret: bool = False
+
     @property
     def points_per_lap(self) -> int:
         # numSS_Points / numSS_it + 1 selected, first 12 used as SS and
