@@ -421,7 +421,13 @@ def make_lmpc(
     N = cfg.N
     L = trk.total_len
 
-    if cfg.use_pallas_sysid:
+    use_pallas_sysid = (
+        cfg.use_pallas_sysid
+        and dtype == jnp.float32
+        and cfg.model_pts % 128 == 0
+        and (cfg.sysid_interpret or jax.default_backend() == "tpu")
+    )
+    if use_pallas_sysid:
         from racinglmpc_tpu.ops import pallas_sysid
 
         def sysid_horizon(store, x_lin, u_lin):

@@ -68,9 +68,25 @@ def _gj_solve(Q, B):
 def _kernel(dist_ref, gath_ref, zq_ref, xq_ref, out_ref,
             *, K: int, T: int, knn: int, h: float, reg: float, dt: float,
             L: float, seg_s0: tuple, seg_curv: tuple):
+    # Everything here must trace at "highest" matmul precision: the MXU
+    # ones-product broadcasts and one-hot gathers are only EXACT when the
+    # f32 operands go through the multi-pass decomposition — at the default
+    # bf16 precision the broadcast values come back off by ~1e-2, min-index
+    # selection finds no candidate row, and the gathers return zeros
+    # (debugged on v5e; interpret mode hides it).
+    with jax.default_matmul_precision("highest"):
+        _kernel_body(dist_ref, gath_ref, zq_ref, xq_ref, out_ref,
+                     K=K, T=T, knn=knn, h=h, reg=reg, dt=dt, L=L,
+                     seg_s0=seg_s0, seg_curv=seg_curv)
+
+
+def _kernel_body(dist_ref, gath_ref, zq_ref, xq_ref, out_ref,
+                 *, K: int, T: int, knn: int, h: float, reg: float,
+                 dt: float, L: float, seg_s0: tuple, seg_curv: tuple):
     f32 = jnp.float32
     ones_T = jnp.ones((1, T), f32)
-    col = jax.lax.broadcasted_iota(f32, (_NQ, T), 1)
+    # Mosaic's tpu.iota is integer-only; cast to f32 for value comparisons
+    col = jax.lax.broadcasted_iota(jnp.int32, (_NQ, T), 1).astype(f32)
 
     def lane_bcast(v, width=T, ones=None):
         # (NQ, 1) -> (NQ, width) via MXU ones-product (see module docstring)

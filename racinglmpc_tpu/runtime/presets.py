@@ -36,21 +36,28 @@ PRESETS: Dict[str, dict] = {
                                  solver=SolverConfig.throughput()),
     ),
     # "LMPC with safe set from 10 laps, convex-hull terminal set, batch 1k"
+    # lap_chunk sized so one dispatch stays ~10 s: the TPU runtime (axon
+    # tunnel) kills executions past ~25-40 s wall ("TPU worker crashed /
+    # kernel fault"), and a batch-1024 LMPC step is ~0.3-0.5 s.
     "config4_lmpc": dict(
         stages="pid,lmpc", batch=1024,
         cfg=exp.ExperimentConfig(
             stage_steps=450, n_lmpc_laps=10, lap_max_steps=500,
-            lap_chunk=125, solver=SolverConfig.throughput(),
+            lap_chunk=25, solver=SolverConfig.throughput(),
             lmpc=LMPCConfig(max_laps=16, max_pts=1024, model_pts=512),
         ),
     ),
     # "Full multi-lap LMPC (30+ laps, growing SS) x 4k variants, >=2 hosts"
+    # single-chip variant: lap_chunk 8 keeps a ~1.5-2 s/step batch-4096
+    # dispatch under the execution watchdog; max_pts 768 keeps the
+    # 34-lap-deep per-scenario safe sets inside one chip's 16 GB HBM
+    # (PID seeds are 450 steps + <=300 addPoint appends).
     "config5_lmpc_4k": dict(
         stages="pid,lmpc", batch=4096,
         cfg=exp.ExperimentConfig(
             stage_steps=450, n_lmpc_laps=30, lap_max_steps=500,
-            lap_chunk=125, solver=SolverConfig.throughput(),
-            lmpc=LMPCConfig(max_laps=36, max_pts=1024, model_pts=512),
+            lap_chunk=8, solver=SolverConfig.throughput(),
+            lmpc=LMPCConfig(max_laps=36, max_pts=768, model_pts=512),
         ),
     ),
 }

@@ -156,10 +156,13 @@ class LMPCConfig:
     feat_scaling: Tuple[float, ...] = (0.1, 1.0, 1.0, 1.0, 1.0)
 
     # run the whole local sys-ID (kNN + WLS + kinematic rows) as one fused
-    # Pallas kernel (ops/pallas_sysid.py) instead of the vmapped XLA path;
-    # sysid_interpret forces interpreter mode (CPU tests). Requires
-    # model_pts % 128 == 0 and float32 state.
-    use_pallas_sysid: bool = False
+    # Pallas kernel (ops/pallas_sysid.py) instead of the vmapped XLA path.
+    # Engages only on TPU with float32 state and model_pts % 128 == 0
+    # (falls back to the XLA path otherwise); sysid_interpret forces
+    # interpreter mode (CPU tests). Measured on v5e: the kernel alone is
+    # ~9% faster than the XLA path (8.0 vs 8.9 ms, batch 256, T=512) and
+    # the full control step ~4% (5837 vs 5585 solves/s, parity ~2e-5).
+    use_pallas_sysid: bool = True
     sysid_interpret: bool = False
 
     @property
