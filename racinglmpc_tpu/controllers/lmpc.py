@@ -61,11 +61,17 @@ class SafeSet(NamedTuple):
     n_laps: jnp.ndarray    # () int32 stored laps (reference ``it``)
 
 
-def make_safe_set(max_laps: int, max_pts: int, dtype=jnp.float32) -> SafeSet:
+def make_safe_set(max_laps: int, max_pts: int, dtype=jnp.float32,
+                  glob_pts: Optional[int] = None) -> SafeSet:
+    """``glob_pts`` sizes the global-frame mirror (reference ``SS_glob``,
+    used only for plotting — nothing in the controller reads it). Pass a
+    small value (e.g. 8) to drop it at scale: it is 40% of the safe set's
+    HBM footprint (LMPCConfig.store_glob)."""
+    gp = max_pts if glob_pts is None else glob_pts
     return SafeSet(
         x=jnp.zeros((max_laps, max_pts, 6), dtype=dtype),
         u=jnp.zeros((max_laps, max_pts, 2), dtype=dtype),
-        x_glob=jnp.zeros((max_laps, max_pts, 6), dtype=dtype),
+        x_glob=jnp.zeros((max_laps, gp, 6), dtype=dtype),
         qfun=jnp.full((max_laps, max_pts), _PAD_QFUN, dtype=dtype),
         n_pts=jnp.zeros((max_laps,), dtype=jnp.int32),
         lap_time=jnp.full((max_laps,), _EMPTY_TIME, dtype=jnp.int32),
@@ -114,16 +120,17 @@ def add_trajectory(ss: SafeSet, x: jnp.ndarray, u: jnp.ndarray,
     max_laps = ss.x.shape[0]
     slot = jnp.minimum(ss.n_laps, max_laps - 1)
     T = ss.x.shape[1]
+    Tg = ss.x_glob.shape[1]     # may be tiny when store_glob is off
     steps = jnp.minimum(steps, T)
-    pad = lambda a, w: jnp.zeros((T, w), dtype=ss.x.dtype).at[: a.shape[0]].set(  # noqa: E731
-        a[:T].astype(ss.x.dtype)
+    pad = lambda a, w, n=T: jnp.zeros((n, w), dtype=ss.x.dtype).at[: min(a.shape[0], n)].set(  # noqa: E731
+        a[:n].astype(ss.x.dtype)
     )
     xk = pad(x, 6)
     qf = compute_qfun(xk[:, 4], steps, track_len)
     return SafeSet(
         x=ss.x.at[slot].set(xk),
         u=ss.u.at[slot].set(pad(u, 2)),
-        x_glob=ss.x_glob.at[slot].set(pad(x_glob, 6)),
+        x_glob=ss.x_glob.at[slot].set(pad(x_glob, 6, Tg)),
         qfun=ss.qfun.at[slot].set(qf),
         n_pts=ss.n_pts.at[slot].set(steps.astype(jnp.int32)),
         lap_time=ss.lap_time.at[slot].set(steps.astype(jnp.int32)),
@@ -343,7 +350,8 @@ def init_lmpc_state(cfg: LMPCConfig, dtype=jnp.float32) -> LMPCState:
     zt starts at [0,0,0,0,10,0] (reference :333)."""
     dims = ocp.FTOCPDims(N=cfg.N, K=cfg.num_ss_points)
     return LMPCState(
-        ss=make_safe_set(cfg.max_laps, cfg.max_pts, dtype=dtype),
+        ss=make_safe_set(cfg.max_laps, cfg.max_pts, dtype=dtype,
+                         glob_pts=cfg.glob_cap),
         ext=make_ext_buffer(cfg.ext_cap, dtype=dtype),
         store=sysid.make_lap_store(cfg.model_laps, cfg.model_pts, dtype=dtype),
         u_old=jnp.zeros(2, dtype=dtype),

@@ -57,6 +57,10 @@ class ExperimentConfig:
     lap_max_steps: int = 1000             # per-LMPC-lap step cap
     lap_chunk: int = 125                  # scan chunk for host early-exit
     pid_noise: bool = True                # PID exploration noise (Utilities.py:63-66)
+    # copy each completed lap's trajectories to HOST memory instead of
+    # accumulating them on-device (30 laps x batch 4096 is ~3.5 GB of HBM
+    # that nothing on-device reads back)
+    offload_laps: bool = False
     sim: SimConfig = SimConfig()
     mpc: MPCConfig = MPCConfig()
     lmpc: LMPCConfig = LMPCConfig()
@@ -326,9 +330,11 @@ def run_experiment(
             )
         lmpc_step = lmpc_mod.make_lmpc(lcfg, trk, cfg.solver, sim.dt, dtype=dtype)
 
-        @jax.jit
-        @jax.vmap
-        def seed(state, x, u, xg, steps):
+        # state buffers are donated: the safe set alone is 1-1.7 MB/scenario
+        # and the between-laps updates would otherwise hold input + output
+        # copies live simultaneously (the difference between fitting and
+        # OOMing one chip at batch >= 2k)
+        def _seed(state, x, u, xg, steps):
             # 4 copies of the PID data into SS + model store (main.py:102-110)
             for _ in range(lcfg.num_ss_it):
                 state = lmpc_mod.lmpc_add_trajectory(
@@ -336,10 +342,12 @@ def run_experiment(
                 )
             return state
 
-        @jax.jit
-        @jax.vmap
-        def add_lap_fn(state, x, u, xg, steps):
+        seed = jax.jit(jax.vmap(_seed), donate_argnums=0)
+
+        def _add_lap(state, x, u, xg, steps):
             return lmpc_mod.lmpc_add_trajectory(state, lcfg, x, u, xg, steps, L)
+
+        add_lap_fn = jax.jit(jax.vmap(_add_lap), donate_argnums=0)
 
         lmpc_state = shard(jax.vmap(
             lambda _: lmpc_mod.init_lmpc_state(lcfg, dtype=dtype)
@@ -394,7 +402,12 @@ def run_experiment(
             lmpc_state = add_lap_fn(
                 lmpc_state, sr.x, sr.u, sr.x_glob, sr.steps
             )
-            lmpc_laps.append(sr)
+            # keep completed-lap trajectories on host when requested — at
+            # batch 4096 the 30-lap archive alone is ~3.5 GB of HBM
+            lmpc_laps.append(
+                jax.tree_util.tree_map(jax.device_get, sr)
+                if cfg.offload_laps else sr
+            )
             lap_steps_l.append(np.asarray(jax.device_get(sr.steps)))
             lap_wall_l.append(_time.time() - _t0)  # device_get above syncs
             # lap time as printed by the reference: Qfun[it][0]*dt (main.py:120)

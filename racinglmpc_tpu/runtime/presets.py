@@ -48,16 +48,23 @@ PRESETS: Dict[str, dict] = {
         ),
     ),
     # "Full multi-lap LMPC (30+ laps, growing SS) x 4k variants, >=2 hosts"
-    # single-chip variant: lap_chunk 8 keeps a ~1.5-2 s/step batch-4096
-    # dispatch under the execution watchdog; max_pts 768 keeps the
-    # 34-lap-deep per-scenario safe sets inside one chip's 16 GB HBM
-    # (PID seeds are 450 steps + <=300 addPoint appends).
+    # Sized to fit ONE v5e chip at the full 4k batch: lap_chunk 8 keeps a
+    # ~1-2 s/step dispatch under the execution watchdog; max_pts 768 bounds
+    # the 34-lap-deep per-scenario safe sets (PID seeds are 450 steps +
+    # addPoint appends); store_glob off drops the viz-only SS_glob mirror
+    # (40% of the safe set); offload_laps keeps the 30-lap trajectory
+    # archive (~3.5 GB) on the host; the between-laps state updates donate
+    # their buffers (experiment.py). Without these, the ~8 GB controller
+    # state OOMs during seeding — or shard the scenario axis over the
+    # >=2-host mesh BASELINE prescribes (run_experiment(mesh=...)).
     "config5_lmpc_4k": dict(
         stages="pid,lmpc", batch=4096,
         cfg=exp.ExperimentConfig(
             stage_steps=450, n_lmpc_laps=30, lap_max_steps=500,
             lap_chunk=8, solver=SolverConfig.throughput(),
-            lmpc=LMPCConfig(max_laps=36, max_pts=768, model_pts=512),
+            offload_laps=True,
+            lmpc=LMPCConfig(max_laps=36, max_pts=768, model_pts=512,
+                            store_glob=False),
         ),
     ),
 }

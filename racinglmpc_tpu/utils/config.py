@@ -171,10 +171,20 @@ class LMPCConfig:
         # last 12 as successors (reference PredictiveControllers.py:403-407)
         return self.num_ss_points // self.num_ss_it + 1
 
+    # store the global-frame mirror of each lap (reference SS_glob) — used
+    # only by visualization; turning it off drops 40% of the safe set's HBM
+    # footprint (0.66 MB/scenario at max_pts 768), which matters at batch
+    # >= 2k on one chip
+    store_glob: bool = True
+
     @property
     def ext_cap(self) -> int:
         # flush_ext requires the extension buffer to fit inside one lap's rows
         return min(self.ext_pts, self.max_pts)
+
+    @property
+    def glob_cap(self) -> int:
+        return self.max_pts if self.store_glob else 8
 
 
 @dataclasses.dataclass(frozen=True)
