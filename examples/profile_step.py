@@ -112,8 +112,11 @@ def main():
     plant = PlantState(x=x0, x_glob=x0)
 
     # stub implementations (same output shapes, constant data)
+    from racinglmpc_tpu.ops import pallas_sysid as psysid_mod
+
     real_select = lmpc_mod.select_terminal_set
     real_sysid = sysid_mod.local_linearization_horizon
+    real_psysid = psysid_mod.local_linearization_horizon
     real_solve = qp_mod.solve
     real_addpoint = lmpc_mod.add_point
 
@@ -123,7 +126,10 @@ def main():
         pts = jnp.broadcast_to(zt[:, None], (6, K)).astype(dt)
         return pts, pts, jnp.zeros((2, K), dt), jnp.arange(K, 0, -1.0, dtype=dt)
 
-    def stub_sysid(store, trk_, x_lin, u_lin, cfg_l, dt_ctrl):
+    def stub_sysid(store, trk_, x_lin, u_lin, cfg_l, dt_ctrl, **_):
+        # patched over BOTH the XLA path and the Pallas kernel path (make_lmpc
+        # binds pallas_sysid on TPU — stubbing only models/sysid would be a
+        # no-op and re-time the unablated step)
         N = x_lin.shape[0]
         dt = x_lin.dtype
         A = jnp.broadcast_to(jnp.eye(6, dtype=dt), (N, 6, 6))
@@ -157,6 +163,8 @@ def main():
         lmpc_mod.select_terminal_set = patch.get("select_terminal_set",
                                                  real_select)
         sysid_mod.local_linearization_horizon = patch.get("sysid", real_sysid)
+        psysid_mod.local_linearization_horizon = patch.get("sysid",
+                                                           real_psysid)
         qp_mod.solve = patch.get("solve", real_solve)
         lmpc_mod.add_point = patch.get("add_point", real_addpoint)
         try:
@@ -167,6 +175,7 @@ def main():
         finally:
             lmpc_mod.select_terminal_set = real_select
             sysid_mod.local_linearization_horizon = real_sysid
+            psysid_mod.local_linearization_horizon = real_psysid
             qp_mod.solve = real_solve
             lmpc_mod.add_point = real_addpoint
         print(f"{name:12s} {ms[name]:8.2f} ms/step", file=sys.stderr)

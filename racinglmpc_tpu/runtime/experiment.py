@@ -349,12 +349,16 @@ def run_experiment(
 
         add_lap_fn = jax.jit(jax.vmap(_add_lap), donate_argnums=0)
 
+        if cfg.lap_max_steps % cfg.lap_chunk != 0:
+            raise ValueError(
+                f"lap_chunk ({cfg.lap_chunk}) must divide lap_max_steps "
+                f"({cfg.lap_max_steps}): a trailing partial chunk would run "
+                "controller/plant steps whose rows are truncated from the "
+                "stored lap (state/data divergence)"
+            )
         lmpc_state = shard(jax.vmap(
             lambda _: lmpc_mod.init_lmpc_state(lcfg, dtype=dtype)
         )(jnp.arange(batch)))
-        lmpc_state = seed(
-            lmpc_state, pid_sr.x, pid_sr.u, pid_sr.x_glob, pid_sr.steps
-        )
 
         runner = _batched_runner(
             lmpc_step, trk, vp, sim, cfg.lap_chunk, multi_lap=False
@@ -367,6 +371,7 @@ def run_experiment(
         lap_steps_l, lap_times_l = [], []
         start_lap = 0
         ckpt_path = None
+        resumed = False
         if checkpoint_dir is not None:
             import os
 
@@ -375,13 +380,32 @@ def run_experiment(
             os.makedirs(checkpoint_dir, exist_ok=True)
             ckpt_path = os.path.join(checkpoint_dir, "lmpc")
             if resume and os.path.exists(ckpt_path + ".npz"):
-                (lmpc_state, plant), _, last_lap = checkpoint.load(
+                (lmpc_state, plant), saved_key, last_lap = checkpoint.load(
                     ckpt_path, (lmpc_state, plant)
                 )
+                # the per-lap streams fold_in from keys[3]; a different seed
+                # would silently break the bit-exact-resume guarantee
+                if not np.array_equal(
+                    np.asarray(jax.random.key_data(saved_key)),
+                    np.asarray(jax.random.key_data(keys[3])),
+                ):
+                    raise ValueError(
+                        "resume key mismatch: the checkpoint was written by a "
+                        "run with a different PRNG seed — resumed laps would "
+                        "not reproduce the uninterrupted run"
+                    )
                 lmpc_state = shard(lmpc_state)
                 plant = shard(plant)
                 start_lap = last_lap + 1
+                resumed = True
                 log(f"Resumed from checkpoint after lap {last_lap}")
+        if not resumed:
+            # skipped on resume: the checkpoint replaces the seeded state, and
+            # at batch >= 2k the seeding scatter chain is an avoidable
+            # peak-memory + compile episode
+            lmpc_state = seed(
+                lmpc_state, pid_sr.x, pid_sr.u, pid_sr.x_glob, pid_sr.steps
+            )
         lap_wall_l: List[float] = []
         import time as _time
 
@@ -421,8 +445,15 @@ def run_experiment(
                 or it == cfg.n_lmpc_laps - 1
             ):
                 checkpoint.save(ckpt_path, (lmpc_state, plant), keys[3], it)
-        lap_steps = np.stack(lap_steps_l, axis=1)
-        lap_times = np.stack(lap_times_l, axis=1)
+        if lap_steps_l:
+            lap_steps = np.stack(lap_steps_l, axis=1)
+            lap_times = np.stack(lap_times_l, axis=1)
+        else:
+            # resume of an already-complete run: nothing left to execute —
+            # return the restored state with an empty (B, 0) lap record
+            log("Checkpoint already covers all laps; nothing to run")
+            lap_steps = np.zeros((batch, 0), dtype=np.int32)
+            lap_times = np.zeros((batch, 0))
 
     return ExperimentResult(
         pid=pid_sr, lti=lti_sr, ltv=ltv_sr, lmpc_laps=lmpc_laps,

@@ -116,3 +116,49 @@ def test_experiment_checkpoint_resume_identical(tmp_path):
                                       np.asarray(sr_full.x))
         np.testing.assert_array_equal(np.asarray(sr_resumed.u),
                                       np.asarray(sr_full.u))
+
+
+def test_resume_of_completed_run_is_a_noop(tmp_path):
+    """Re-invoking with resume=True after the final lap was checkpointed
+    returns the restored state with an empty lap record instead of crashing
+    (the pattern a preemptible-job wrapper produces)."""
+    from racinglmpc_tpu.runtime import experiment as exp
+    from racinglmpc_tpu.utils.config import LMPCConfig, SolverConfig
+
+    cfg = exp.ExperimentConfig(
+        stage_steps=450, n_lmpc_laps=2, lap_max_steps=400, lap_chunk=100,
+        solver=SolverConfig.throughput(),
+        lmpc=LMPCConfig(max_laps=8, max_pts=1024, model_pts=512),
+    )
+    key = jax.random.PRNGKey(3)
+    ckpt = str(tmp_path / "ck")
+    exp.run_experiment(key, cfg, batch=2, stages="pid,lmpc",
+                       dtype=jnp.float32, checkpoint_dir=ckpt)
+    res = exp.run_experiment(key, cfg, batch=2, stages="pid,lmpc",
+                             dtype=jnp.float32, checkpoint_dir=ckpt,
+                             resume=True)
+    assert res.lap_steps.shape == (2, 0) and res.lap_times.shape == (2, 0)
+    assert res.lmpc_state is not None
+
+
+def test_resume_with_different_seed_is_rejected(tmp_path):
+    """The checkpointed PRNG key is compared on resume: a different seed
+    would silently break the bit-exact-resume guarantee."""
+    import pytest
+
+    from racinglmpc_tpu.runtime import experiment as exp
+    from racinglmpc_tpu.utils.config import LMPCConfig, SolverConfig
+
+    cfg = exp.ExperimentConfig(
+        stage_steps=450, n_lmpc_laps=2, lap_max_steps=400, lap_chunk=100,
+        solver=SolverConfig.throughput(),
+        lmpc=LMPCConfig(max_laps=8, max_pts=1024, model_pts=512),
+    )
+    ckpt = str(tmp_path / "ck")
+    exp.run_experiment(jax.random.PRNGKey(3), cfg, batch=2,
+                       stages="pid,lmpc", dtype=jnp.float32,
+                       checkpoint_dir=ckpt, checkpoint_every=2)
+    with pytest.raises(ValueError, match="resume key mismatch"):
+        exp.run_experiment(jax.random.PRNGKey(4), cfg, batch=2,
+                           stages="pid,lmpc", dtype=jnp.float32,
+                           checkpoint_dir=ckpt, resume=True)
