@@ -27,11 +27,15 @@ def main():
     ap.add_argument("--out", default=None)
     ap.add_argument("--scale-batch", type=float, default=1.0)
     ap.add_argument("--n-laps", type=int, default=None)
+    ap.add_argument("--checkpoint-dir", default=None,
+                    help="checkpoint every 2 laps; with --resume, continue a "
+                         "wedged run instead of restarting")
+    ap.add_argument("--resume", action="store_true")
     args = ap.parse_args()
 
     out = presets.run_preset(
         args.preset, scale_batch=args.scale_batch, n_laps=args.n_laps,
-        verbose=True,
+        verbose=True, checkpoint_dir=args.checkpoint_dir, resume=args.resume,
     )
     import jax
 

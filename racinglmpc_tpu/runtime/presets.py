@@ -71,11 +71,15 @@ PRESETS: Dict[str, dict] = {
 
 
 def run_preset(name: str, seed: int = 0, scale_batch: float = 1.0,
-               n_laps: int | None = None, verbose: bool = False) -> dict:
+               n_laps: int | None = None, verbose: bool = False,
+               checkpoint_dir: str | None = None,
+               resume: bool = False) -> dict:
     """Run one preset; returns {wall_s, batch, lap_times?, steps/s...}.
 
     ``scale_batch``/``n_laps`` let smoke tests shrink a preset without
-    changing its structure.
+    changing its structure. ``checkpoint_dir``/``resume`` make the long
+    presets restartable across TPU-runtime wedges (config5 is hours of
+    wall; a hung tunnel mid-run should cost laps, not the whole run).
     """
     p = PRESETS[name]
     cfg = p["cfg"]
@@ -85,7 +89,8 @@ def run_preset(name: str, seed: int = 0, scale_batch: float = 1.0,
     t0 = time.time()
     res = exp.run_experiment(
         jax.random.PRNGKey(seed), cfg, batch=batch, stages=p["stages"],
-        verbose=verbose,
+        verbose=verbose, checkpoint_dir=checkpoint_dir,
+        checkpoint_every=2, resume=resume,
     )
     wall = time.time() - t0
     out = {"preset": name, "batch": batch, "wall_s": round(wall, 2)}
