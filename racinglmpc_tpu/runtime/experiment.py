@@ -100,6 +100,20 @@ def initial_plant(batch: int, dtype=jnp.float32) -> PlantState:
     return PlantState(x=x0, x_glob=x0)
 
 
+def _to_host(a) -> np.ndarray:
+    """Fetch a (possibly multi-host-sharded) array to every host.
+
+    ``jax.device_get`` raises on globally-sharded arrays whose shards live
+    on other processes (the DCN mesh path); ``process_allgather`` assembles
+    the full value on every host so the lap loop's bookkeeping stays
+    identical across processes."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(a, tiled=True))
+    return np.asarray(jax.device_get(a))
+
+
 def _stage_result(res: loop_mod.LapResult) -> StageResult:
     return StageResult(
         x=res.x, u=res.u, x_glob=res.x_glob, mask=res.mask,
@@ -432,12 +446,12 @@ def run_experiment(
                 jax.tree_util.tree_map(jax.device_get, sr)
                 if cfg.offload_laps else sr
             )
-            lap_steps_l.append(np.asarray(jax.device_get(sr.steps)))
-            lap_wall_l.append(_time.time() - _t0)  # device_get above syncs
+            lap_steps_l.append(_to_host(sr.steps))
+            lap_wall_l.append(_time.time() - _t0)  # host fetch above syncs
             # lap time as printed by the reference: Qfun[it][0]*dt (main.py:120)
             slot = lmpc_state.ss.n_laps - 1
             q0 = jax.vmap(lambda ss, sl: ss.qfun[sl, 0])(lmpc_state.ss, slot)
-            lap_times_l.append(np.asarray(jax.device_get(q0)) * sim.dt)
+            lap_times_l.append(_to_host(q0) * sim.dt)
             log(f"Completed lap {it}: steps={lap_steps_l[-1]}, "
                 f"time={np.round(lap_times_l[-1], 2)} s")
             if ckpt_path is not None and (

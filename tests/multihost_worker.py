@@ -34,19 +34,38 @@ def main():
     assert len(jax.devices()) == 4 * nproc, len(jax.devices())
     assert len(jax.local_devices()) == 4
 
+    stage = sys.argv[4] if len(sys.argv) > 4 else "pid"
     mesh = make_mesh()  # spans all 8 devices across both processes
-    cfg = exp.ExperimentConfig(stage_steps=120)
-    res = exp.run_experiment(
-        jax.random.PRNGKey(0), cfg, batch=8, stages="pid", mesh=mesh
-    )
-    # cross-process reductions (XLA collectives over the scenario axis);
-    # per-shard leaves are not addressable from one process, so only
-    # replicated reduction results are pulled to the host
-    final_s = res.pid.x[:, -1, 4]
-    mean_s = float(jax.numpy.mean(final_s))
-    steps_ok = bool(jax.numpy.all(res.pid.steps == 120))
-    print(f"RESULT pid={pid} mean_s={mean_s:.6f} steps_ok={steps_ok}",
-          flush=True)
+    if stage == "pid":
+        cfg = exp.ExperimentConfig(stage_steps=120)
+        res = exp.run_experiment(
+            jax.random.PRNGKey(0), cfg, batch=8, stages="pid", mesh=mesh
+        )
+        # cross-process reductions (XLA collectives over the scenario axis);
+        # per-shard leaves are not addressable from one process, so only
+        # replicated reduction results are pulled to the host
+        final_s = res.pid.x[:, -1, 4]
+        mean_s = float(jax.numpy.mean(final_s))
+        steps_ok = bool(jax.numpy.all(res.pid.steps == 120))
+        print(f"RESULT pid={pid} mean_s={mean_s:.6f} steps_ok={steps_ok}",
+              flush=True)
+    else:  # the full LMPC stage across processes (sharded safe sets,
+        # DCN-spanning lap loop with host early exit + per-lap bookkeeping)
+        from racinglmpc_tpu.utils.config import LMPCConfig, SolverConfig
+
+        cfg = exp.ExperimentConfig(
+            stage_steps=300, n_lmpc_laps=2, lap_max_steps=320, lap_chunk=80,
+            solver=SolverConfig.throughput(),
+            lmpc=LMPCConfig(max_laps=8, max_pts=512, model_pts=256),
+        )
+        res = exp.run_experiment(
+            jax.random.PRNGKey(0), cfg, batch=8, stages="pid,lmpc", mesh=mesh
+        )
+        # lap_steps is host-gathered identically on every process (_to_host)
+        steps_str = ",".join(str(int(v)) for v in res.lap_steps.ravel())
+        improved = bool((res.lap_steps[:, 1] <= res.lap_steps[:, 0]).all())
+        print(f"RESULT pid={pid} lap_steps={steps_str} improved={improved}",
+              flush=True)
 
 
 if __name__ == "__main__":

@@ -76,3 +76,43 @@ def test_two_process_distributed_pid_stage():
                              stages="pid")
     expected = float(np.mean(np.asarray(res.pid.x)[:, -1, 4]))
     assert means[0] == pytest.approx(expected, abs=5e-4)
+
+
+@pytest.mark.slow
+def test_two_process_distributed_lmpc_stage():
+    """Full LMPC stage across 2 processes: sharded safe sets, DCN-spanning
+    closed-loop lap scan, host early exit, and the per-lap bookkeeping
+    (which host-gathers lap steps via process_allgather). Both processes
+    must report identical lap-step tables."""
+    port = _free_port()
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    env.pop("XLA_FLAGS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, str(port), str(pid), "2", "lmpc"],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
+        outs.append(out)
+
+    tables = []
+    for out in outs:
+        m = re.search(r"lap_steps=([\d,]+) improved=(\w+)", out)
+        assert m, f"no RESULT line in: {out}"
+        tables.append(m.group(1))
+        assert m.group(2) == "True"
+    assert tables[0] == tables[1]
