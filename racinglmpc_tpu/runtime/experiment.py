@@ -442,8 +442,9 @@ def run_experiment(
             )
             # keep completed-lap trajectories on host when requested — at
             # batch 4096 the 30-lap archive alone is ~3.5 GB of HBM
+            # (_to_host also handles multi-host-sharded leaves)
             lmpc_laps.append(
-                jax.tree_util.tree_map(jax.device_get, sr)
+                jax.tree_util.tree_map(_to_host, sr)
                 if cfg.offload_laps else sr
             )
             lap_steps_l.append(_to_host(sr.steps))
