@@ -12,39 +12,123 @@ star is >= 1000 batched solves/s/chip at N=14. ``vs_baseline`` is reported
 against the 45 solves/s reference midpoint.
 
 Prints exactly one JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
+On failure the line is still printed, with value 0 and an "error" field
+(the TPU tunnel here can wedge for minutes; the scoreboard artifact must
+degrade to a diagnostic record, never to an empty file). Backend init is
+probed in a bounded subprocess with retry/backoff BEFORE the measurement;
+probe children are never killed (a killed TPU client can wedge the tunnel's
+remote lease cleanup for 10+ minutes — observed in round 2).
 """
 from __future__ import annotations
 
 import json
+import os
+import subprocess
 import sys
 import time
 
-import jax
-import jax.numpy as jnp
+BASELINE_SOLVES_PER_S = 45.0  # reference single-problem CPU (SURVEY §6)
+_METRIC = "lmpc_full_step_qp_solves_per_s_per_chip"
+_UNIT = "solves/s (N=14, full control step incl. sys-ID)"
 
-from racinglmpc_tpu.controllers import lmpc as lmpc_mod
-from racinglmpc_tpu.models import track as track_mod
-from racinglmpc_tpu.models.dynamics import PlantState, plant_step
-from racinglmpc_tpu.runtime import experiment as exp
-from racinglmpc_tpu.utils.config import (
-    LMPCConfig,
-    SimConfig,
-    SolverConfig,
-    VehicleParams,
+_PROBE_SRC = (
+    "import jax, jax.numpy as jnp;"
+    "x = jnp.ones((256, 256));"
+    "(x @ x).block_until_ready();"
+    "print('backend:', jax.default_backend(), jax.devices())"
 )
 
-BASELINE_SOLVES_PER_S = 45.0  # reference single-problem CPU (SURVEY §6)
+
+def _log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def probe_backend(attempt_timeout_s: float = 150.0,
+                  total_budget_s: float = 600.0) -> bool:
+    """Verify the JAX backend initializes and runs one op, in a subprocess.
+
+    Retries with backoff for up to ``total_budget_s``. A child that exceeds
+    ``attempt_timeout_s`` is NOT killed — killing a TPU client mid-init can
+    wedge the tunnel's lease cleanup for 10+ minutes (round-2 incident); we
+    keep waiting on the same child until the total budget instead, and on
+    final failure leave it to exit on its own.
+    """
+    deadline = time.time() + total_budget_s
+    attempt = 0
+    while True:
+        attempt += 1
+        t0 = time.time()
+        _log(f"[bench] backend probe attempt {attempt}...")
+        child = subprocess.Popen(
+            [sys.executable, "-c", _PROBE_SRC],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        warned = False
+        while True:
+            rc = child.poll()
+            if rc is not None:
+                break
+            now = time.time()
+            if now - t0 > attempt_timeout_s and not warned:
+                _log(f"[bench] probe slow (> {attempt_timeout_s:.0f}s); "
+                     "waiting (never killing a TPU client)...")
+                warned = True
+            if now > deadline:
+                _log(f"[bench] probe still hung at total budget "
+                     f"({total_budget_s:.0f}s); giving up (child left to "
+                     "exit on its own)")
+                return False
+            time.sleep(2.0)
+        out, err = child.communicate()
+        if rc == 0:
+            _log(f"[bench] probe ok in {time.time() - t0:.1f}s: "
+                 f"{out.strip()}")
+            return True
+        _log(f"[bench] probe failed (rc={rc}) in {time.time() - t0:.1f}s; "
+             f"stderr tail: {err.strip()[-400:]}")
+        if time.time() + 30.0 > deadline:
+            return False
+        time.sleep(min(30.0, max(deadline - time.time(), 0.0)))
+
+
+def _failure_record(stage: str, err: str) -> dict:
+    rec = {
+        "metric": _METRIC, "value": 0.0, "unit": _UNIT, "vs_baseline": 0.0,
+        "error": f"{stage}: {err[:500]}",
+    }
+    print(json.dumps(rec), flush=True)
+    return rec
 
 
 def main(batch: int = 256, steps: int = 50, reps: int = 3,
          verbose: bool = False, pallas_rollout: bool = True) -> dict:
-    log = (lambda *a: print(*a, file=sys.stderr)) if verbose else (lambda *a: None)
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from racinglmpc_tpu.controllers import lmpc as lmpc_mod
+    from racinglmpc_tpu.models import track as track_mod
+    from racinglmpc_tpu.models.dynamics import PlantState, plant_step
+    from racinglmpc_tpu.runtime import experiment as exp
+    from racinglmpc_tpu.utils.config import (
+        LMPCConfig,
+        SimConfig,
+        SolverConfig,
+        VehicleParams,
+    )
+
+    log = _log if verbose else (lambda *a: None)
+    # the fused Pallas kernels have TPU lowerings only — gate on the backend
+    # so a plain-CPU `python bench.py` measures the XLA paths instead of
+    # crashing at lowering
+    on_tpu = jax.default_backend() == "tpu"
     cfg = exp.ExperimentConfig(
         stage_steps=450,
         solver=SolverConfig.throughput(),
-        sim=SimConfig(use_pallas_rollout=pallas_rollout),
-        lmpc=LMPCConfig(max_laps=12, max_pts=1024, model_pts=512),
+        sim=SimConfig(use_pallas_rollout=pallas_rollout and on_tpu),
+        lmpc=LMPCConfig(max_laps=12, max_pts=1024, model_pts=512,
+                        use_pallas_sysid=on_tpu),
     )
     trk = track_mod.make_track()
     vp = VehicleParams()
@@ -102,42 +186,65 @@ def main(batch: int = 256, steps: int = 50, reps: int = 3,
                 plant = jax.vmap(
                     lambda pl, uu, kk: plant_step(pl, uu, vp, trk, cfg.sim, kk)
                 )(plant, u, kps)
-            return (state, plant), None
+            # per-step ADMM iteration counts: the single number that says
+            # whether the next solver win is fewer iterations or cheaper ones
+            return (state, plant), state.iters
 
-        (state, plant), _ = jax.lax.scan(
+        (state, plant), iters = jax.lax.scan(
             body, (state, plant), jnp.arange(steps)
         )
-        return state, plant
+        return state, plant, iters
 
     log("compiling + warmup chunk...")
     t0 = time.time()
-    state, plant = run_chunk(state, plant, jax.random.fold_in(key, 1))
+    state, plant, _ = run_chunk(state, plant, jax.random.fold_in(key, 1))
     jax.block_until_ready(plant.x)
     log(f"warmup (incl. compile): {time.time() - t0:.1f}s")
 
     times = []
+    iters_all = []
     for r in range(reps):
         t0 = time.time()
-        state, plant = run_chunk(state, plant, jax.random.fold_in(key, 2 + r))
+        state, plant, iters = run_chunk(state, plant, jax.random.fold_in(key, 2 + r))
         jax.block_until_ready(plant.x)
         times.append(time.time() - t0)
+        iters_all.append(np.asarray(iters).ravel())
         log(f"rep {r}: {times[-1]:.3f}s -> "
             f"{batch * steps / times[-1]:.0f} solves/s")
 
     best = min(times)
     solves_per_s = batch * steps / best
+    it = np.concatenate(iters_all)
     result = {
-        "metric": "lmpc_full_step_qp_solves_per_s_per_chip",
+        "metric": _METRIC,
         "value": round(solves_per_s, 1),
-        "unit": "solves/s (N=14, full control step incl. sys-ID)",
+        "unit": _UNIT,
         "vs_baseline": round(solves_per_s / BASELINE_SOLVES_PER_S, 2),
+        # ADMM iterations-to-tolerance distribution across (steps x batch);
+        # granularity = SolverConfig.check_every
+        "admm_iters_mean": round(float(it.mean()), 1),
+        "admm_iters_p50": int(np.percentile(it, 50)),
+        "admm_iters_p99": int(np.percentile(it, 99)),
+        "batch": batch,
     }
-    print(json.dumps(result))
+    print(json.dumps(result), flush=True)
     return result
 
 
 if __name__ == "__main__":
     verbose = "-v" in sys.argv
     batch = int(sys.argv[sys.argv.index("--batch") + 1]) if "--batch" in sys.argv else 256
-    main(batch=batch, verbose=verbose,
-         pallas_rollout="--no-pallas-rollout" not in sys.argv)
+    if "--no-probe" not in sys.argv:
+        if not probe_backend():
+            _failure_record("backend-probe", "backend init did not complete "
+                            "within the retry budget (TPU tunnel wedge?)")
+            sys.exit(1)
+    try:
+        main(batch=batch, verbose=verbose,
+             pallas_rollout="--no-pallas-rollout" not in sys.argv)
+    except BaseException as e:  # noqa: BLE001 - scoreboard must not be empty
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        _failure_record("measurement", f"{type(e).__name__}: {e}")
+        sys.exit(1)

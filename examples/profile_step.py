@@ -102,7 +102,9 @@ def main():
     cfg = exp.ExperimentConfig(
         stage_steps=450,
         solver=SolverConfig.throughput(),
-        lmpc=LMPCConfig(max_laps=12, max_pts=1024, model_pts=512),
+        # pallas sysid is opt-in (config.py); profile the bench configuration
+        lmpc=LMPCConfig(max_laps=12, max_pts=1024, model_pts=512,
+                        use_pallas_sysid=jax.default_backend() == "tpu"),
     )
     trk = track_mod.make_track()
     vp = VehicleParams()

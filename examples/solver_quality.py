@@ -19,6 +19,13 @@ import sys
 
 import jax
 
+# quality-only workload: force CPU (a JAX_PLATFORMS env var is overridden by
+# the axon sitecustomize here; only the config update reliably wins), unless
+# the caller explicitly asks for the accelerator
+import os  # noqa: E402
+
+if os.environ.get("SOLVER_QUALITY_BACKEND", "cpu") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 import jax.numpy as jnp  # noqa: E402

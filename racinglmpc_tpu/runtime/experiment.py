@@ -92,6 +92,11 @@ class ExperimentResult(NamedTuple):
     # end) — per-step latency = lap_wall_s[i] / mean lap steps; feeds the
     # true-p99 latency report (metrics.latency_report)
     lap_wall_s: Optional[np.ndarray] = None
+    # first lap executed by THIS process run (> 0 on a resumed run). The
+    # per-lap records above still cover the whole experiment: laps before
+    # resume_lap are restored from the checkpoint's meta sidecar, so a
+    # resumed run's summary metrics are not silently partial.
+    resume_lap: int = 0
 
 
 def initial_plant(batch: int, dtype=jnp.float32) -> PlantState:
@@ -121,6 +126,16 @@ def _stage_result(res: loop_mod.LapResult) -> StageResult:
     )
 
 
+def fused_rollout_ok(sim_cfg) -> bool:
+    """The fused rollout kernel has a TPU lowering only: engage it when the
+    backend is TPU or interpret mode is forced (CPU tests) — mirroring the
+    sysid/QP kernel gates — so ``use_pallas_rollout=True`` on a CPU backend
+    falls back to the vmapped path instead of failing at lowering."""
+    return sim_cfg.use_pallas_rollout and (
+        sim_cfg.pallas_interpret or jax.default_backend() == "tpu"
+    )
+
+
 def _batched_runner(step_fn, trk, vp, sim_cfg, max_steps, multi_lap):
     """Batched lap runner: jit(vmap(run_lap)), or the fused Pallas-rollout
     variant when ``sim_cfg.use_pallas_rollout`` (scalar vehicle params only —
@@ -128,7 +143,7 @@ def _batched_runner(step_fn, trk, vp, sim_cfg, max_steps, multi_lap):
     scalar_vp = all(
         jnp.ndim(leaf) == 0 for leaf in jax.tree_util.tree_leaves(vp)
     )
-    if sim_cfg.use_pallas_rollout and scalar_vp:
+    if fused_rollout_ok(sim_cfg) and scalar_vp:
         def f(ctrl_state, plant, keys, done0, step0):
             return loop_mod.run_lap_fused(
                 step_fn, ctrl_state, plant, keys, trk=trk, vp=vp,
@@ -226,9 +241,12 @@ def run_experiment(
     ``checkpoint_every`` completed laps. With ``resume=True`` an existing
     checkpoint is loaded and the lap loop continues after its lap; per-lap
     PRNG keys are derived by ``fold_in`` on the lap index, so a resumed run
-    reproduces the uninterrupted run exactly (the returned per-lap results
-    then cover only the remaining laps). The reference has no equivalent
-    (SURVEY §5.4).
+    reproduces the uninterrupted run exactly. The returned ``lap_steps`` /
+    ``lap_times`` / ``lap_wall_s`` cover the WHOLE experiment (laps before
+    the resume point are restored from the checkpoint's meta sidecar;
+    ``resume_lap`` records where this run picked up); only the per-lap
+    trajectory arrays (``lmpc_laps``) are limited to the laps executed by
+    this process. The reference has no equivalent (SURVEY §5.4).
     """
     if trk is None:
         trk = make_track(dtype=dtype)
@@ -383,6 +401,7 @@ def run_experiment(
         plant = plant0
         lmpc_laps = []
         lap_steps_l, lap_times_l = [], []
+        lap_wall_l: List[float] = []
         start_lap = 0
         ckpt_path = None
         resumed = False
@@ -412,6 +431,20 @@ def run_experiment(
                 plant = shard(plant)
                 start_lap = last_lap + 1
                 resumed = True
+                # restore the per-lap history sidecar so the returned
+                # records (and any BENCH artifact built from them) cover the
+                # WHOLE experiment, not just the laps after the resume
+                meta_path = ckpt_path + ".npz.meta.json"
+                if os.path.exists(meta_path):
+                    import json as _json
+
+                    with open(meta_path) as f:
+                        hist = _json.load(f)
+                    lap_steps_l = [np.asarray(v, dtype=np.int32)
+                                   for v in hist.get("lap_steps", [])]
+                    lap_times_l = [np.asarray(v)
+                                   for v in hist.get("lap_times", [])]
+                    lap_wall_l = list(hist.get("lap_wall_s", []))
                 log(f"Resumed from checkpoint after lap {last_lap}")
         if not resumed:
             # skipped on resume: the checkpoint replaces the seeded state, and
@@ -420,7 +453,6 @@ def run_experiment(
             lmpc_state = seed(
                 lmpc_state, pid_sr.x, pid_sr.u, pid_sr.x_glob, pid_sr.steps
             )
-        lap_wall_l: List[float] = []
         import time as _time
 
         for it in range(start_lap, cfg.n_lmpc_laps):
@@ -459,7 +491,18 @@ def run_experiment(
                 (it + 1) % checkpoint_every == 0
                 or it == cfg.n_lmpc_laps - 1
             ):
-                checkpoint.save(ckpt_path, (lmpc_state, plant), keys[3], it)
+                checkpoint.save(
+                    ckpt_path, (lmpc_state, plant), keys[3], it,
+                    # history sidecar: lets a resumed run report the whole
+                    # experiment instead of only its remaining laps
+                    meta={
+                        "lap_steps": [np.asarray(v).tolist()
+                                      for v in lap_steps_l],
+                        "lap_times": [np.asarray(v).tolist()
+                                      for v in lap_times_l],
+                        "lap_wall_s": [float(v) for v in lap_wall_l],
+                    },
+                )
         if lap_steps_l:
             lap_steps = np.stack(lap_steps_l, axis=1)
             lap_times = np.stack(lap_times_l, axis=1)
@@ -476,4 +519,5 @@ def run_experiment(
         A_lti=A_lti, B_lti=B_lti,
         lap_wall_s=(np.asarray(lap_wall_l)
                     if "lmpc" in want and lap_steps is not None else None),
+        resume_lap=(start_lap if "lmpc" in want else 0),
     )

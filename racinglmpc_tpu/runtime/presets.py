@@ -44,27 +44,30 @@ PRESETS: Dict[str, dict] = {
         cfg=exp.ExperimentConfig(
             stage_steps=450, n_lmpc_laps=10, lap_max_steps=500,
             lap_chunk=25, solver=SolverConfig.throughput(),
-            lmpc=LMPCConfig(max_laps=16, max_pts=1024, model_pts=512),
+            lmpc=LMPCConfig(max_laps=16, max_pts=1024, model_pts=512,
+                            use_pallas_sysid=True),
         ),
     ),
     # "Full multi-lap LMPC (30+ laps, growing SS) x 4k variants, >=2 hosts"
     # Sized to fit ONE v5e chip at the full 4k batch: lap_chunk 8 keeps a
-    # ~1-2 s/step dispatch under the execution watchdog; max_pts 768 bounds
-    # the 34-lap-deep per-scenario safe sets (PID seeds are 450 steps +
-    # addPoint appends); store_glob off drops the viz-only SS_glob mirror
-    # (40% of the safe set); offload_laps keeps the 30-lap trajectory
-    # archive (~3.5 GB) on the host; the between-laps state updates donate
-    # their buffers (experiment.py). Without these, the ~8 GB controller
-    # state OOMs during seeding — or shard the scenario axis over the
-    # >=2-host mesh BASELINE prescribes (run_experiment(mesh=...)).
+    # ~1-2 s/step dispatch under the execution watchdog; max_pts 1024 >=
+    # stage_steps (450, the PID seed lap) + lap_max_steps (500 addPoint
+    # appends during the following lap), so no append is silently dropped
+    # by add_point's capacity guard (the reference always appends);
+    # store_glob off drops the viz-only SS_glob mirror (40% of the safe
+    # set); offload_laps keeps the 30-lap trajectory archive (~3.5 GB) on
+    # the host; the between-laps state updates donate their buffers
+    # (experiment.py). Without these, the ~8 GB controller state OOMs
+    # during seeding — or shard the scenario axis over the >=2-host mesh
+    # BASELINE prescribes (run_experiment(mesh=...)).
     "config5_lmpc_4k": dict(
         stages="pid,lmpc", batch=4096,
         cfg=exp.ExperimentConfig(
             stage_steps=450, n_lmpc_laps=30, lap_max_steps=500,
             lap_chunk=10, solver=SolverConfig.throughput(),
             offload_laps=True,
-            lmpc=LMPCConfig(max_laps=36, max_pts=768, model_pts=512,
-                            store_glob=False),
+            lmpc=LMPCConfig(max_laps=36, max_pts=1024, model_pts=512,
+                            store_glob=False, use_pallas_sysid=True),
         ),
     ),
 }
@@ -94,13 +97,21 @@ def run_preset(name: str, seed: int = 0, scale_batch: float = 1.0,
     )
     wall = time.time() - t0
     out = {"preset": name, "batch": batch, "wall_s": round(wall, 2)}
+    if res.resume_lap:
+        # resumed run: lap_steps/lap_times below cover the WHOLE experiment
+        # (restored from the checkpoint's meta sidecar), but wall_s and the
+        # steps/s rate cover only the laps executed by THIS process run
+        out["resumed_from_lap"] = int(res.resume_lap)
     if res.lap_times is not None:
         out["mean_lap_times_s"] = np.round(res.lap_times.mean(0), 2).tolist()
         out["laps_completed"] = int(
             (res.lap_steps < cfg.lap_max_steps).all(axis=1).sum()
         )
-        total_steps = int(res.lap_steps.sum())
-        out["lmpc_steps_per_s"] = round(total_steps / wall, 1)
+        # rate = steps executed by THIS run / this run's wall (on resume the
+        # restored laps are excluded from both numerator and denominator)
+        exec_steps = int(res.lap_steps[:, res.resume_lap:].sum())
+        if exec_steps:
+            out["lmpc_steps_per_s"] = round(exec_steps / wall, 1)
         if res.lap_wall_s is not None and len(res.lap_wall_s):
             # TRUE batched-step wall latency: one control step for the whole
             # batch (lap wall / steps that lap), percentiles across laps —

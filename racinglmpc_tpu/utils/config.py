@@ -157,12 +157,17 @@ class LMPCConfig:
 
     # run the whole local sys-ID (kNN + WLS + kinematic rows) as one fused
     # Pallas kernel (ops/pallas_sysid.py) instead of the vmapped XLA path.
-    # Engages only on TPU with float32 state and model_pts % 128 == 0
-    # (falls back to the XLA path otherwise); sysid_interpret forces
-    # interpreter mode (CPU tests). Measured on v5e: the kernel alone is
-    # ~9% faster than the XLA path (8.0 vs 8.9 ms, batch 256, T=512) and
-    # the full control step ~4% (5837 vs 5585 solves/s, parity ~2e-5).
-    use_pallas_sysid: bool = True
+    # OPT-IN (like SolverConfig.use_pallas / SimConfig.use_pallas_rollout):
+    # the TPU lowering of a hand-written kernel can silently diverge from
+    # its interpret-mode tests (see ops/pallas_qp.py design notes), so the
+    # default path is XLA; the bench/presets enable this explicitly and are
+    # quality-gated by on-TPU closed-loop runs. Engages only on TPU with
+    # float32 state and model_pts % 128 == 0 (falls back to the XLA path
+    # otherwise); sysid_interpret forces interpreter mode (CPU tests).
+    # Measured on v5e: the kernel alone is ~9% faster than the XLA path
+    # (8.0 vs 8.9 ms, batch 256, T=512) and the full control step ~4%
+    # (5837 vs 5585 solves/s, parity ~2e-5).
+    use_pallas_sysid: bool = False
     sysid_interpret: bool = False
 
     @property

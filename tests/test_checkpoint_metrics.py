@@ -107,10 +107,15 @@ def test_experiment_checkpoint_resume_identical(tmp_path):
                              dtype=jnp.float32, checkpoint_dir=ckpt,
                              resume=True)
 
-    # resumed run covers exactly laps 2..3 and reproduces them bit-for-bit
-    assert res.lap_steps.shape == (2, 2)
-    np.testing.assert_array_equal(res.lap_steps, full.lap_steps[:, 2:])
-    np.testing.assert_array_equal(res.lap_times, full.lap_times[:, 2:])
+    # the resumed run executes laps 2..3 but reports the WHOLE experiment
+    # (laps 0..1 restored from the checkpoint's meta sidecar), bit-identical
+    # to the uninterrupted run
+    assert res.resume_lap == 2
+    assert res.lap_steps.shape == (2, 4)
+    np.testing.assert_array_equal(res.lap_steps, full.lap_steps)
+    np.testing.assert_array_equal(res.lap_times, full.lap_times)
+    # per-lap trajectories only exist for the laps this run executed
+    assert len(res.lmpc_laps) == 2
     for sr_resumed, sr_full in zip(res.lmpc_laps, full.lmpc_laps[2:]):
         np.testing.assert_array_equal(np.asarray(sr_resumed.x),
                                       np.asarray(sr_full.x))
@@ -120,8 +125,8 @@ def test_experiment_checkpoint_resume_identical(tmp_path):
 
 def test_resume_of_completed_run_is_a_noop(tmp_path):
     """Re-invoking with resume=True after the final lap was checkpointed
-    returns the restored state with an empty lap record instead of crashing
-    (the pattern a preemptible-job wrapper produces)."""
+    executes nothing but still reports the full restored lap record (the
+    pattern a preemptible-job wrapper produces)."""
     from racinglmpc_tpu.runtime import experiment as exp
     from racinglmpc_tpu.utils.config import LMPCConfig, SolverConfig
 
@@ -132,12 +137,14 @@ def test_resume_of_completed_run_is_a_noop(tmp_path):
     )
     key = jax.random.PRNGKey(3)
     ckpt = str(tmp_path / "ck")
-    exp.run_experiment(key, cfg, batch=2, stages="pid,lmpc",
-                       dtype=jnp.float32, checkpoint_dir=ckpt)
+    first = exp.run_experiment(key, cfg, batch=2, stages="pid,lmpc",
+                               dtype=jnp.float32, checkpoint_dir=ckpt)
     res = exp.run_experiment(key, cfg, batch=2, stages="pid,lmpc",
                              dtype=jnp.float32, checkpoint_dir=ckpt,
                              resume=True)
-    assert res.lap_steps.shape == (2, 0) and res.lap_times.shape == (2, 0)
+    assert res.resume_lap == 2 and len(res.lmpc_laps) == 0
+    np.testing.assert_array_equal(res.lap_steps, first.lap_steps)
+    np.testing.assert_array_equal(res.lap_times, first.lap_times)
     assert res.lmpc_state is not None
 
 
