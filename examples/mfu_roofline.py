@@ -257,7 +257,8 @@ def main():
                 + (np_ * mp_ + mp_ * np_ + np_ * np_ + np_ * np_)  # refine
                 + np_ * mp_)         # zt
     mac_check = np_ * mp_ + np_ * np_ + mp_ * np_
-    checks = np.ceil(iters / scfg.check_every)
+    # +1: the kernel checks residuals once at entry (warm-start early exit)
+    checks = np.ceil(iters / scfg.check_every) + 1
     flops_admm = float(2 * (iters.astype(np.float64) * mac_iter
                             + checks * mac_check).sum())
     bytes_admm = B * 4.0 * (np_ * np_ * 2 + mp_ * np_ + 8 * mp_

@@ -128,6 +128,11 @@ def run_jax(trk, curv, L, xs_pid, us_pid, noise, n_laps, solver, dtype):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--laps", type=int, default=6)
+    ap.add_argument("--extra", default=None,
+                    help="JSON {name: SolverConfig-overrides-on-throughput} "
+                         "of additional f32 presets to evaluate")
+    ap.add_argument("--out", default=None,
+                    help="also write the table to this JSON file")
     args = ap.parse_args()
 
     trk64 = track_mod.make_track(dtype=jnp.float64)
@@ -147,6 +152,11 @@ def main():
         "throughput_f32": SolverConfig.throughput(),
         "balanced_f32": SolverConfig.balanced(),
     }
+    if args.extra:
+        import dataclasses
+        for name, over in json.loads(args.extra).items():
+            f32_presets[name] = dataclasses.replace(
+                SolverConfig.throughput(), **over)
     if not on_tpu:
         # off-TPU, run the XLA f32 path instead of the (interpreter-slow)
         # Pallas kernel — tests/test_pallas_qp.py pins the two equal
@@ -180,6 +190,9 @@ def main():
         for k, v in out.items()
     }
     print(json.dumps(table, indent=1))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump({"laps": args.laps, "presets": table}, f, indent=1)
     return table
 
 

@@ -68,7 +68,7 @@ def _kernel(P_ref, Kinv_ref, A_ref, vec_ref, x_ref, z_ref, y_ref,
             out_x_ref, out_y_ref, out_stats_ref,
             *, sigma: float, alpha: float, eps_abs: float, eps_rel: float,
             max_iter: int, check_every: int, refine_steps: int,
-            np_: int, mp_: int):
+            iter_precision: str, np_: int, mp_: int):
     # vec_ref rows: 0 q | 1 l | 2 u | 3 rho | 4 rho_inv | 5 D | 6 E_inv
     # (all length mp_; the n-sized rows live in [:np_]); vec_ref[7, 0] = 1/c
     q = vec_ref[0:1, :np_]
@@ -84,18 +84,71 @@ def _kernel(P_ref, Kinv_ref, A_ref, vec_ref, x_ref, z_ref, y_ref,
     P = P_ref[:]
     Kinv = Kinv_ref[:]
     f32 = jnp.float32
+    # Precision is pinned PER DOT, never taken from the ambient
+    # default_matmul_precision context: the kernel must behave identically
+    # whether traced inside qp.solve's "highest" context or standalone
+    # (the round-2 roofline harness traced it bare and silently got the
+    # default bf16 single-pass lowering — no scenario converged).
+    # - residual checks always run at HIGHEST: they gate acceptance and the
+    #   unscaled tolerances are meaningless if the check itself rounds.
+    # - the iteration-loop dots run at ``iter_precision``: ADMM is a
+    #   fixed-point iteration whose converged accuracy is enforced by the
+    #   (full-precision) residual check, so the per-iteration operator may
+    #   round as long as the iteration still contracts to tolerance —
+    #   "high" (3-pass bf16 decomposition) halves the MXU passes of
+    #   "highest" (6-pass). Quality-gated by on-TPU closed-loop runs.
+    prec_check = jax.lax.Precision.HIGHEST
+    if iter_precision not in ("highest", "bf16x3", "default"):
+        raise ValueError(f"iter_precision: {iter_precision}")
 
-    def mv_n(v):   # (1, mp) -> (1, np): v @ A  (contract m)
+    def _dot(v, M, dims, prec):
         return jax.lax.dot_general(
-            v, A, (((1,), (0,)), ((), ())), preferred_element_type=f32)
+            v, M, (dims, ((), ())), precision=prec,
+            preferred_element_type=f32)
 
-    def mv_m(v):   # (1, np) -> (1, mp): v @ A^T (contract n)
-        return jax.lax.dot_general(
-            v, A, (((1,), (1,)), ((), ())), preferred_element_type=f32)
+    # "bf16x3": Mosaic lowers f32 dots only at DEFAULT (one truncated bf16
+    # pass) or HIGHEST (six passes) — lax.Precision.HIGH is unsupported. The
+    # classical 3-product decomposition is hand-rolled instead: M = M_hi +
+    # M_lo (two bf16 planes, 16 mantissa bits combined), v likewise, and
+    # v@M ~ v_hi@M_hi + v_hi@M_lo + v_lo@M_hi — three single-pass bf16 MXU
+    # products with f32 accumulation, ~2^-16 relative operator error (well
+    # under the 1e-3 solve tolerance that the full-precision residual check
+    # enforces) at HALF the MXU passes of HIGHEST.
+    bf16 = jnp.bfloat16
+    if iter_precision == "bf16x3":
+        def split(M):
+            hi = M.astype(bf16)
+            return hi, (M - hi.astype(f32)).astype(bf16)
 
-    def mv_s(v, M):  # (1, np) @ (np, np), M symmetric
-        return jax.lax.dot_general(
-            v, M, (((1,), (0,)), ((), ())), preferred_element_type=f32)
+        A_hi, A_lo = split(A)
+        P_hi, P_lo = split(P)
+        K_hi, K_lo = split(Kinv)
+        splits = {id(A): (A_hi, A_lo), id(P): (P_hi, P_lo),
+                  id(Kinv): (K_hi, K_lo)}
+
+    def mv_iter(v, M, dims):
+        if iter_precision == "highest":
+            return _dot(v, M, dims, jax.lax.Precision.HIGHEST)
+        if iter_precision == "default":
+            return _dot(v, M, dims, jax.lax.Precision.DEFAULT)
+        M_hi, M_lo = splits[id(M)]
+        v_hi = v.astype(bf16)
+        v_lo = (v - v_hi.astype(f32)).astype(bf16)
+        d = jax.lax.Precision.DEFAULT
+        return (_dot(v_hi, M_hi, dims, d)
+                + (_dot(v_hi, M_lo, dims, d) + _dot(v_lo, M_hi, dims, d)))
+
+    _N_DIMS = ((1,), (0,))   # (1, mp) @ A -> (1, np)   (contract m)
+    _M_DIMS = ((1,), (1,))   # (1, np) @ A^T -> (1, mp) (contract n)
+
+    def mv_n(v):   # iteration-precision v @ A
+        return mv_iter(v, A, _N_DIMS)
+
+    def mv_m(v):   # iteration-precision v @ A^T
+        return mv_iter(v, A, _M_DIMS)
+
+    def mv_s(v, M):  # iteration-precision (1, np) @ (np, np)
+        return mv_iter(v, M, _N_DIMS)
 
     def one_iter(x, z, y):
         rhs = sigma * x - q + mv_n(rho * z - y)
@@ -111,11 +164,12 @@ def _kernel(P_ref, Kinv_ref, A_ref, vec_ref, x_ref, z_ref, y_ref,
         return x_new, z_new, y_new
 
     def residuals(x, y):
-        Ax = mv_m(x)
+        p = prec_check
+        Ax = _dot(x, A, _M_DIMS, p)
         zc = jnp.clip(Ax, l, u)
         pri = jnp.max(jnp.abs((Ax - zc) * E_inv))
-        Px = mv_s(x, P)
-        Aty = mv_n(y)
+        Px = _dot(x, P, _N_DIMS, p)
+        Aty = _dot(y, A, _N_DIMS, p)
         dua = jnp.max(jnp.abs((Px + q + Aty) * D)) * c_inv
         pri_sc = jnp.maximum(jnp.max(jnp.abs(Ax * E_inv)),
                              jnp.max(jnp.abs(zc * E_inv)))
@@ -149,9 +203,16 @@ def _kernel(P_ref, Kinv_ref, A_ref, vec_ref, x_ref, z_ref, y_ref,
         return (x, z, y, k + 1, jnp.logical_or(done, ok), pri, dua, iters)
 
     x0, z0, y0 = x_ref[:], z_ref[:], y_ref[:]
-    init = (x0, z0, y0, jnp.int32(0), jnp.asarray(False),
-            jnp.asarray(jnp.inf, f32), jnp.asarray(jnp.inf, f32),
-            jnp.int32(max_iter))
+    # entry check: the one-stage-shifted warm start of a slowly-drifting
+    # FTOCP often already meets tolerance in steady state — such scenarios
+    # exit after ONE residual evaluation (iters = 0) instead of paying a
+    # full check_every chunk.
+    pri0, dua0, pri_sc0, dua_sc0 = residuals(x0, y0)
+    ok0 = jnp.logical_and(pri0 < eps_abs + eps_rel * pri_sc0,
+                          dua0 < eps_abs + eps_rel * dua_sc0)
+    init = (x0, z0, y0, jnp.int32(0), ok0,
+            pri0, dua0,
+            jnp.where(ok0, jnp.int32(0), jnp.int32(max_iter)))
     x, z, y, _, done, pri, dua, iters = jax.lax.while_loop(cond, body, init)
 
     out_x_ref[:] = x
@@ -169,7 +230,8 @@ def _kernel(P_ref, Kinv_ref, A_ref, vec_ref, x_ref, z_ref, y_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("sigma", "alpha", "eps_abs", "eps_rel", "max_iter",
-                     "check_every", "refine_steps", "interpret"),
+                     "check_every", "refine_steps", "iter_precision",
+                     "interpret"),
 )
 def admm_iterate(
     P: jnp.ndarray,      # (n, n) scaled quadratic cost
@@ -185,6 +247,7 @@ def admm_iterate(
     x0: jnp.ndarray, z0: jnp.ndarray, y0: jnp.ndarray,
     *, sigma: float, alpha: float, eps_abs: float, eps_rel: float,
     max_iter: int, check_every: int, refine_steps: int,
+    iter_precision: str = "highest",
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray,
            jnp.ndarray]:
@@ -225,7 +288,8 @@ def admm_iterate(
         _kernel, sigma=float(sigma), alpha=float(alpha),
         eps_abs=float(eps_abs), eps_rel=float(eps_rel),
         max_iter=int(max_iter), check_every=int(check_every),
-        refine_steps=int(refine_steps), np_=np_, mp_=mp_,
+        refine_steps=int(refine_steps), iter_precision=str(iter_precision),
+        np_=np_, mp_=mp_,
     )
     out_shape = [
         jax.ShapeDtypeStruct((1, np_), f32),

@@ -403,6 +403,7 @@ def _solve_impl(qp, cfg, warm, fac):
             eps_abs=cfg.eps_abs, eps_rel=cfg.eps_rel,
             max_iter=total, check_every=cfg.check_every,
             refine_steps=cfg.kkt_refine_steps,
+            iter_precision=cfg.pallas_iter_precision,
             interpret=cfg.pallas_interpret,
         )
         return _finish(orig, cfg, dt, n, m, is_eq,

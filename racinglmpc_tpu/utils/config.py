@@ -235,6 +235,13 @@ class SolverConfig:
     # removed: see the design notes in ops/pallas_qp.py)
     use_pallas: bool = False
     pallas_interpret: bool = False
+    # matmul precision of the Pallas kernel's ITERATION-loop dots
+    # ("highest" = 6-pass f32 | "bf16x3" = hand-rolled 3-product bf16
+    # decomposition, ~2^-16 operator error at half the MXU passes |
+    # "default" = one truncated bf16 pass). Residual checks always run at
+    # highest (they gate acceptance), so lowering this trades per-iteration
+    # MXU passes against possibly more iterations — see ops/pallas_qp.py.
+    pallas_iter_precision: str = "highest"
     # controllers accept a solution only if the unscaled primal residual is
     # below this (float32 ADMM stalls on the *dual* residual at ~1e-1 while
     # the primal solution is accurate; divergence shows up as pri >> 1e-2)
