@@ -104,13 +104,16 @@ def run_jax(trk, curv, L, xs_pid, us_pid, noise, n_laps, solver, dtype):
         state = add_tr(state, pad(xs_pid), pad(us_pid), pad(xs_pid),
                        jnp.int32(len(xs_pid)))
     jstep = jax.jit(lmpc_mod.make_lmpc(lcfg, trk, solver, 0.1, dtype=dtype))
-    steps = []
+    steps, diag = [], []
     x, g = X0.copy(), X0.copy()
     for lap in range(n_laps):
         xs, us = [], []
+        rejects, iters = 0, []
         for t in range(1000):
             state, u = jstep(state, jnp.asarray(x, dtype=dtype), None)
             u = np.asarray(u, dtype=np.float64)
+            rejects += int(not bool(state.feasible))
+            iters.append(int(state.iters))
             xs.append(x.copy())
             us.append(u.copy())
             x, g = ref_plant.plant_step(x, g, u, curv, noise=noise[lap, t])
@@ -121,8 +124,11 @@ def run_jax(trk, curv, L, xs_pid, us_pid, noise, n_laps, solver, dtype):
         state = add_tr(state, pad(np.array(xs)), pad(np.array(us)),
                        pad(np.array(xs)), jnp.int32(len(xs)))
         steps.append(len(xs))
-        print(f"  lap {lap}: {len(xs)}", file=sys.stderr)
-    return steps
+        diag.append({"rejects": rejects,
+                     "iters_p99": int(np.percentile(iters, 99))})
+        print(f"  lap {lap}: {len(xs)} (rejects {rejects}, "
+              f"iters_p99 {diag[-1]['iters_p99']})", file=sys.stderr)
+    return steps, diag
 
 
 def main():
@@ -166,17 +172,17 @@ def main():
             for k, v in f32_presets.items()
         }
 
-    out = {}
+    out, diags = {}, {}
     print("oracle (reference semantics, f64):", file=sys.stderr)
     out["oracle_f64"] = run_oracle(curv, L, xs_pid, us_pid, noise, args.laps)
     print("parity preset (f64):", file=sys.stderr)
-    out["parity_f64"] = run_jax(trk64, curv, L, xs_pid, us_pid, noise,
-                                args.laps, SolverConfig.parity(),
-                                jnp.float64)
+    out["parity_f64"], diags["parity_f64"] = run_jax(
+        trk64, curv, L, xs_pid, us_pid, noise, args.laps,
+        SolverConfig.parity(), jnp.float64)
     for name, sc in f32_presets.items():
         print(f"{name}:", file=sys.stderr)
-        out[name] = run_jax(trk32, curv, L, xs_pid, us_pid, noise,
-                            args.laps, sc, jnp.float32)
+        out[name], diags[name] = run_jax(trk32, curv, L, xs_pid, us_pid,
+                                         noise, args.laps, sc, jnp.float32)
 
     ref = np.array(out["oracle_f64"], dtype=float)
     table = {
@@ -186,6 +192,8 @@ def main():
                 abs(sum(v) - ref.sum()) / ref.sum() * 100, 2),
             "final_lap_rel_diff_pct": round(
                 (v[-1] - ref[-1]) / ref[-1] * 100, 2),
+            **({"rejects_per_lap": [d["rejects"] for d in diags[k]]}
+               if k in diags else {}),
         }
         for k, v in out.items()
     }

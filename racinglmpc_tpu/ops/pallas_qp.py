@@ -33,6 +33,16 @@ Design notes from rejected variants (measured on TPU v5e, batch 256 LMPC):
   heavy-tailed iteration distribution makes per-scenario early exit worth
   more than the pipelining (a tile runs until its SLOWEST scenario
   converges); S=8 OOMs VMEM (~21 MB with double buffering).
+- **Lowered iteration precision** (round 3): running the iteration-loop
+  dots below full f32 fidelity — either one truncated bf16 pass (DEFAULT)
+  or a hand-rolled 3-product bf16 hi/lo decomposition (~2^-16 operator
+  error) — fails outright on TPU: the scaled KKT's effective conditioning
+  amplifies the operator error above the 1e-2 acceptance threshold, so
+  every scenario runs to max_iter and is rejected (measured batch 256:
+  bf16x3 2110 solves/s all-rejected vs 5465 healthy baseline). The 6-pass
+  HIGHEST iteration dots are load-bearing; per-iteration MXU cost is not
+  reducible via precision. (Mosaic supports only DEFAULT/HIGHEST for f32
+  dots — lax.Precision.HIGH does not lower.)
 - The tiled dispatch needed ``jax.custom_batching.custom_vmap`` (pad batch,
   regroup as (G, S)); under ``jit(vmap(jit(...)))`` nesting — and in the
   closed-loop scan of the real experiment — the custom_vmap'd pallas_call
@@ -45,6 +55,27 @@ Design notes from rejected variants (measured on TPU v5e, batch 256 LMPC):
 Used by ops/qp.py when ``SolverConfig.use_pallas`` is set, the dtype is
 float32, rho is fixed (``adaptive_rho=False``), and the backend is TPU;
 interpret mode covers CPU tests.
+
+Round-3 extension — the FUSED-PROLOGUE kernel (:func:`admm_iterate_fused`).
+The round-3 stage profile (``examples/profile_qp.py``, batch 256) showed the
+solve's XLA-side prologue costing more than the iteration loop itself:
+Newton-Schulz refactorization 13.9 ms, K assembly 1.5 ms, epilogue residuals
+1.4 ms vs 28.5 ms kernel. The NS cost is structural: under ``vmap`` the NS
+``while_loop`` runs in lockstep, so ONE scenario whose warm inverse fails the
+contraction test (e.g. a PID-fallback scenario whose FTOCP jumped) drags the
+WHOLE batch through a ~30-iteration cold build — the same heavy-tail argument
+that justified per-scenario early exit for the ADMM loop. The fused kernel
+therefore performs, per scenario, entirely in VMEM:
+
+    K = P + sigma I + A' rho A      (one M=256 MXU GEMM)
+    Kinv = NewtonSchulz(K, warm X0) (per-scenario early exit, 2 GEMMs/iter)
+    ADMM iteration loop             (as admm_iterate)
+
+and returns the refreshed Kinv for the FactorCache, so qp.py's pallas path
+has NO per-step XLA GEMMs left — only the (cheap, elementwise) Ruiz warm
+refresh. Padding note: the padded tail of K's diagonal is set to 1 (not
+sigma) and padded warm Kinv rows carry a unit diagonal, so the pad block is
+exactly inverted from iteration 0 and contributes nothing to NS residuals.
 """
 from __future__ import annotations
 

@@ -65,7 +65,13 @@ class FactorCache(NamedTuple):
 
     The Ruiz scaling (D, E, c) is also cached: warm solves apply it directly
     and refine with ``scaling_warm_iters`` sweeps instead of recomputing
-    from scratch.
+    from scratch. Refinement alone goes *stale* over thousands of steps
+    (observed round 1: laps collapsing ~9 s -> ~20 s after ~17 laps at 2
+    sweeps — the cached c compounds a downward bias), so every
+    ``scaling_refresh_every``-th solve re-equilibrates from scratch with the
+    full ``scaling_iters`` sweeps. ``age`` counts solves for that schedule;
+    it is identical across a scenario batch (every scenario solves every
+    step), so the dynamic sweep count stays uniform under vmap.
 
     kinv: inverse of P_s + sigma I + A_s' rho A_s (scaled problem).
     """
@@ -75,6 +81,7 @@ class FactorCache(NamedTuple):
     E: jnp.ndarray      # (m,) Ruiz row scaling
     c: jnp.ndarray      # () cost scaling
     valid: jnp.ndarray  # () bool — cache holds a usable factorization
+    age: jnp.ndarray    # () int32 — solves since cache creation
 
 
 def init_factor_cache(n: int, m: int, dtype=jnp.float32) -> FactorCache:
@@ -84,6 +91,7 @@ def init_factor_cache(n: int, m: int, dtype=jnp.float32) -> FactorCache:
         E=jnp.ones(m, dtype=dtype),
         c=jnp.ones((), dtype=dtype),
         valid=jnp.asarray(False),
+        age=jnp.zeros((), jnp.int32),
     )
 
 
@@ -335,16 +343,26 @@ def _solve_impl(qp, cfg, warm, fac):
     is_eq = jnp.isfinite(qp.l) & jnp.isfinite(qp.u) & (qp.u - qp.l < 1e-12)
 
     if fac is not None and cfg.scaling_iters > 0:
-        # warm path: apply the cached scaling, refine with a couple sweeps.
-        # (An invalid cache holds ones — the first-ever solve then gets only
-        # the refinement sweeps, which Ruiz's fast convergence tolerates.)
+        # warm path: apply the cached scaling, refine with a couple sweeps;
+        # every scaling_refresh_every-th solve re-equilibrates from scratch
+        # (full sweeps, no cached init) so the warm refinement cannot go
+        # stale (see FactorCache). The sweep count is a traced fori_loop
+        # bound — uniform across a batch because ``age`` is.
+        refresh = jnp.logical_not(fac.valid)
+        if cfg.scaling_refresh_every > 0:
+            refresh = refresh | (
+                fac.age % cfg.scaling_refresh_every == 0
+            )
+        use_warm = fac.valid & jnp.logical_not(refresh)
         one_n, one_m = jnp.ones(n, dt), jnp.ones(m, dt)
         init = (
-            jnp.where(fac.valid, fac.D.astype(dt), one_n),
-            jnp.where(fac.valid, fac.E.astype(dt), one_m),
-            jnp.where(fac.valid, fac.c.astype(dt), jnp.asarray(1.0, dt)),
+            jnp.where(use_warm, fac.D.astype(dt), one_n),
+            jnp.where(use_warm, fac.E.astype(dt), one_m),
+            jnp.where(use_warm, fac.c.astype(dt), jnp.asarray(1.0, dt)),
         )
-        qp_s, D, E, c = _ruiz_equilibrate(qp, cfg.scaling_warm_iters, init=init)
+        n_sweeps = jnp.where(refresh, cfg.scaling_iters,
+                             min(cfg.scaling_warm_iters, cfg.scaling_iters))
+        qp_s, D, E, c = _ruiz_equilibrate(qp, n_sweeps, init=init)
     elif cfg.scaling_iters > 0:
         qp_s, D, E, c = _ruiz_equilibrate(qp, cfg.scaling_iters)
     else:
@@ -372,9 +390,11 @@ def _solve_impl(qp, cfg, warm, fac):
     if fac is not None:
         kinv0 = fac.kinv.astype(dt)
         warm_ok = fac.valid
+        age = fac.age
     else:
         kinv0 = jnp.zeros((n, n), dt)
         warm_ok = jnp.asarray(False)
+        age = jnp.zeros((), jnp.int32)
 
     # --- phase 1: warmup at rho0, then one rho adaptation ------------------
     # (OSQP-style: adapt on the primal/dual residual ratio. A single early
@@ -410,7 +430,7 @@ def _solve_impl(qp, cfg, warm, fac):
                        x_u=D * x, y_u=E * y / c,
                        solved=solved, iters=iters,
                        kinv=Kinv1, ns_resid=ns_resid1, ns_tol=ns_tol,
-                       D=D, E=E, c=c)
+                       D=D, E=E, c=c, age=age)
 
     x, z, y = _admm_segment(
         qp_s, Kinv1, rho, sigma, alpha, x, z, y, warmup,
@@ -480,11 +500,11 @@ def _solve_impl(qp, cfg, warm, fac):
                    x_u=D * x, y_u=E * y / c,
                    solved=solved, iters=iters,
                    kinv=Kinv2, ns_resid=ns_resid, ns_tol=ns_tol,
-                   D=D, E=E, c=c)
+                   D=D, E=E, c=c, age=age)
 
 
 def _finish(orig, cfg, dt, n, m, is_eq, *, x_u, y_u, solved, iters,
-            kinv, ns_resid, ns_tol, D, E, c):
+            kinv, ns_resid, ns_tol, D, E, c, age):
     """Shared epilogue: optional polish, final residuals, cache packing."""
     if cfg.polish:
         x_p, y_p = _polish(orig, x_u, y_u, is_eq, cfg)
@@ -510,6 +530,7 @@ def _finish(orig, cfg, dt, n, m, is_eq, *, x_u, y_u, solved, iters,
     fac_out = FactorCache(
         kinv=kinv, D=D, E=E, c=c,
         valid=jnp.all(jnp.isfinite(kinv)) & (ns_resid < 50 * ns_tol),
+        age=age + 1,
     )
     return QPSolution(
         x=x_u, y=y_u, pri_res=pri_f, dua_res=dua_f,

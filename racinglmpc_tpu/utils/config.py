@@ -209,11 +209,15 @@ class SolverConfig:
     eps_abs: float = 1e-3         # OSQP defaults (the reference passes none)
     eps_rel: float = 1e-3
     scaling_iters: int = 10       # Ruiz equilibration sweeps (0 = off)
-    # refinement sweeps when warm-started from the cached scaling. Default
-    # equals the cold count: fewer sweeps (e.g. 2) are measurably faster but
-    # the scaling goes stale over long LMPC sessions — observed as a mass
-    # lap-time collapse (~9 s -> ~20 s) after ~17 laps at 2 sweeps.
+    # refinement sweeps when warm-started from the cached scaling. Fewer
+    # sweeps (e.g. 2) are measurably faster, but refinement ALONE goes stale
+    # over long LMPC sessions — observed as a mass lap-time collapse
+    # (~9 s -> ~20 s) after ~17 laps at 2 sweeps in round 1. The staleness
+    # guard is ``scaling_refresh_every``: every K-th solve re-equilibrates
+    # from scratch with the full ``scaling_iters`` sweeps (0 = never, only
+    # safe when warm == cold sweep counts). See ops/qp.FactorCache.
     scaling_warm_iters: int = 10
+    scaling_refresh_every: int = 0
     adaptive_rho: bool = True
     warmup_iters: int = 25        # iterations at rho0 before the adaptation
     check_every: int = 25         # convergence-check/early-exit granularity

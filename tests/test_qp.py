@@ -124,3 +124,40 @@ def test_float32_mode_reasonable():
     z_ref, *_ = qp_ip.solve_qp(H, q, G, g, F, b)
     sol = qp_mod.solve(data32, SolverConfig(eps_abs=1e-4, eps_rel=1e-4))
     np.testing.assert_allclose(np.asarray(sol.x), z_ref, atol=2e-3)
+
+
+def test_scaling_refresh_overrides_stale_cache():
+    """scaling_refresh_every: the K-th warm solve re-equilibrates from
+    scratch, so a corrupted/stale cached Ruiz scaling cannot poison it
+    (ops/qp.FactorCache staleness guard, VERDICT round-2 item 9)."""
+    rng = np.random.default_rng(6)
+    H, q, G, g, F, b = _random_qp(rng)
+    data = _osqp_form(H, q, G, g, F, b)
+    n, m = data.P.shape[0], data.A.shape[0]
+    z_ref, *_ = qp_ip.solve_qp(H, q, G, g, F, b)
+
+    # deliberately WRONG cached scaling (valid=True so the warm path uses it)
+    junk = qp_mod.FactorCache(
+        kinv=jnp.zeros((n, n), data.P.dtype),
+        D=jnp.asarray(rng.uniform(10.0, 100.0, n), data.P.dtype),
+        E=jnp.asarray(rng.uniform(10.0, 100.0, m), data.P.dtype),
+        c=jnp.asarray(37.0, data.P.dtype),
+        valid=jnp.asarray(True),
+        age=jnp.zeros((), jnp.int32),  # age % refresh_every == 0 -> refresh
+    )
+    cfg = SolverConfig(scaling_warm_iters=2, scaling_refresh_every=10)
+    sol_refresh = qp_mod.solve(data, cfg, fac=junk)
+    sol_cold = qp_mod.solve(data, cfg)
+
+    # the refresh discards the junk init entirely: scaling == cold scaling
+    np.testing.assert_allclose(np.asarray(sol_refresh.fac.D),
+                               np.asarray(sol_cold.fac.D), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(sol_refresh.x), z_ref, atol=5e-6)
+    assert int(sol_refresh.fac.age) == 1  # solve count advances
+
+    # off-schedule (age=1): only the 2 refinement sweeps run on the junk
+    # init, so the resulting scaling differs from the cold one
+    stale = junk._replace(age=jnp.ones((), jnp.int32))
+    sol_stale = qp_mod.solve(data, cfg, fac=stale)
+    assert not np.allclose(np.asarray(sol_stale.fac.D),
+                           np.asarray(sol_cold.fac.D), rtol=1e-3)
