@@ -267,6 +267,58 @@ def main():
         results["pallas_kernel"] = time_stage(
             "pallas_kernel", s_kernel, R, qp_s, Kinv, rho, D, E, c, warm)
 
+        # head-to-head: the fused-prologue kernel on identical inputs
+        def s_kernel_fused(eps, qp_s, fac, rho, D, E, c, warm):
+            def one(p, f, r, d, e, cc, wx, wy):
+                x = wx / d
+                y = cc * wy / e
+                z = jnp.clip(p.A @ x, p.l, p.u)
+                return pallas_qp.admm_iterate_fused(
+                    p.P, p.A, f.kinv, f.valid,
+                    p.q + eps, p.l, p.u, r, d, e, cc,
+                    x, z, y,
+                    sigma=scfg.sigma, alpha=scfg.alpha,
+                    eps_abs=scfg.eps_abs, eps_rel=scfg.eps_rel,
+                    max_iter=scfg.max_iter, check_every=scfg.check_every,
+                    refine_steps=scfg.kkt_refine_steps,
+                    ns_tol=float(ns_tol), ns_max_iters=scfg.ns_max_iters,
+                    iter_precision=scfg.pallas_iter_precision,
+                )
+            return jax.vmap(one)(qp_s, fac, rho, D, E, c, warm[0], warm[1])
+
+        results["pallas_kernel_fused"] = time_stage(
+            "pallas_kernel_fused", s_kernel_fused, R,
+            qp_s, fac, rho, D, E, c, warm)
+
+        # per-lane NS warm-refresh iteration counts (the XLA path pays the
+        # MAX over the batch in lockstep; the fused kernel pays per lane)
+        def ns_iters_one(k, f):
+            I = jnp.eye(n, dtype=jnp.float32)
+            R0 = I - k @ f.kinv
+            r0 = jnp.sqrt(jnp.sum(R0 * R0))
+            warm = f.valid & jnp.isfinite(r0) & (r0 < 0.9)
+
+            def cond(st):
+                _, r, it = st
+                return (r > ns_tol) & (it < scfg.ns_max_iters)
+
+            def body(st):
+                X, _, it = st
+                Rm = I - k @ X
+                return X + X @ Rm, jnp.max(jnp.abs(Rm)), it + 1
+
+            d0 = 1.0 / jnp.clip(jnp.diagonal(k), 1e-12, None)
+            cj = jnp.sqrt(jnp.sum((I - k * d0[None, :]) ** 2))
+            Xj = (I * d0[None, :]) / jnp.maximum(cj, 1.0)
+            X0 = jnp.where(warm, f.kinv, Xj)
+            _, _, it = jax.lax.while_loop(
+                cond, body, (X0, jnp.asarray(jnp.inf, jnp.float32),
+                             jnp.int32(0)))
+            return it, warm
+
+        ns_it, ns_warm_used = jax.jit(jax.vmap(ns_iters_one))(K, fac)
+        ns_it = np.asarray(ns_it)
+
         # kernel iteration stats on this exact workload
         _, _, _, _, it_k, ok_k = jax.jit(
             lambda *a: s_kernel(jnp.float32(0.0), *a)
@@ -300,6 +352,9 @@ def main():
         "kernel_iters_mean": round(float(it_np.mean()), 1),
         "kernel_iters_p99": int(np.percentile(it_np, 99)),
         "kernel_ok_frac": round(float(np.asarray(ok_k).mean()), 3),
+        "ns_iters_mean": round(float(ns_it.mean()), 2),
+        "ns_iters_max": int(ns_it.max()),
+        "ns_warm_frac": round(float(np.asarray(ns_warm_used).mean()), 3),
         "config": {"scaling_warm_iters": scfg.scaling_warm_iters,
                    "scaling_refresh_every": scfg.scaling_refresh_every,
                    "kkt_refine_steps": scfg.kkt_refine_steps,

@@ -56,26 +56,29 @@ Used by ops/qp.py when ``SolverConfig.use_pallas`` is set, the dtype is
 float32, rho is fixed (``adaptive_rho=False``), and the backend is TPU;
 interpret mode covers CPU tests.
 
-Round-3 extension — the FUSED-PROLOGUE kernel (:func:`admm_iterate_fused`).
-The round-3 stage profile (``examples/profile_qp.py``, batch 256) showed the
-solve's XLA-side prologue costing more than the iteration loop itself:
-Newton-Schulz refactorization 13.9 ms, K assembly 1.5 ms, epilogue residuals
-1.4 ms vs 28.5 ms kernel. The NS cost is structural: under ``vmap`` the NS
-``while_loop`` runs in lockstep, so ONE scenario whose warm inverse fails the
-contraction test (e.g. a PID-fallback scenario whose FTOCP jumped) drags the
-WHOLE batch through a ~30-iteration cold build — the same heavy-tail argument
-that justified per-scenario early exit for the ADMM loop. The fused kernel
-therefore performs, per scenario, entirely in VMEM:
+Round-3 extension — the FUSED-PROLOGUE kernel (:func:`admm_iterate_fused`),
+kept as a tested option but MEASURED SLOWER in the product loop; presets do
+not enable it. The motivating stage profile (``examples/profile_qp.py``,
+batch 256) showed XLA-side Newton-Schulz refactorization at 13.9 ms — but
+that was a one-step artifact: the profiler captures a single step's inputs,
+and at THAT step a stale lane forced the vmapped (lockstep) NS while_loop
+through a ~30-iteration cold build. In loop steady state the warm refresh is
+1-3 lockstep iterations (~1-2 ms), so moving it in-kernel:
 
     K = P + sigma I + A' rho A      (one M=256 MXU GEMM)
     Kinv = NewtonSchulz(K, warm X0) (per-scenario early exit, 2 GEMMs/iter)
     ADMM iteration loop             (as admm_iterate)
 
-and returns the refreshed Kinv for the FactorCache, so qp.py's pallas path
-has NO per-step XLA GEMMs left — only the (cheap, elementwise) Ruiz warm
-refresh. Padding note: the padded tail of K's diagonal is set to 1 (not
-sigma) and padded warm Kinv rows carry a unit diagonal, so the pad block is
-exactly inverted from iteration 0 and contributes nothing to NS residuals.
+trades batched XLA GEMMs (full-MXU, pipelined across the batch) for
+grid-serial in-program GEMMs plus ~70% more per-program VMEM I/O, and loses:
+measured on the bench workload, fused 5371.7 vs unfused 5527.9 solves/s in
+one process (and the Ruiz-refresh win is larger without it: 5904 vs 5725).
+The padding/NS structure is kept correct and parity-tested
+(test_pallas_qp.py::test_fused_ns_*) in case a future workload has a
+heavy-tailed NS distribution in steady state — that is the one regime where
+per-scenario NS exit beats batched lockstep. Padding note: the padded tail
+of K's diagonal is 1 (not sigma) and the padded warm Kinv carries a unit
+diagonal, so the pad block is exactly inverted from iteration 0.
 """
 from __future__ import annotations
 
@@ -95,25 +98,24 @@ def _pad_to(x: int) -> int:
     return -(-x // _LANE) * _LANE
 
 
-def _kernel(P_ref, Kinv_ref, A_ref, vec_ref, x_ref, z_ref, y_ref,
-            out_x_ref, out_y_ref, out_stats_ref,
-            *, sigma: float, alpha: float, eps_abs: float, eps_rel: float,
-            max_iter: int, check_every: int, refine_steps: int,
-            iter_precision: str, np_: int, mp_: int):
-    # vec_ref rows: 0 q | 1 l | 2 u | 3 rho | 4 rho_inv | 5 D | 6 E_inv
-    # (all length mp_; the n-sized rows live in [:np_]); vec_ref[7, 0] = 1/c
-    q = vec_ref[0:1, :np_]
-    l = vec_ref[1:2, :]
-    u = vec_ref[2:3, :]
-    rho = vec_ref[3:4, :]
-    rho_inv = vec_ref[4:5, :]
-    D = vec_ref[5:6, :np_]
-    E_inv = vec_ref[6:7, :]
-    c_inv = vec_ref[7, 0]
+def _admm_core(P, Kinv, A, vec, x0, z0, y0,
+               *, sigma: float, alpha: float, eps_abs: float, eps_rel: float,
+               max_iter: int, check_every: int, refine_steps: int,
+               iter_precision: str, np_: int, mp_: int):
+    """The VMEM-resident ADMM iteration loop (shared by both kernels).
 
-    A = A_ref[:]
-    P = P_ref[:]
-    Kinv = Kinv_ref[:]
+    Takes VALUES already read from refs; returns (x, y, pri, dua, iters,
+    done). ``vec`` rows: 0 q | 1 l | 2 u | 3 rho | 4 rho_inv | 5 D |
+    6 E_inv (all length mp_; n-sized rows live in [:np_]); vec[7, 0] = 1/c.
+    """
+    q = vec[0:1, :np_]
+    l = vec[1:2, :]
+    u = vec[2:3, :]
+    rho = vec[3:4, :]
+    rho_inv = vec[4:5, :]
+    D = vec[5:6, :np_]
+    E_inv = vec[6:7, :]
+    c_inv = vec[7, 0]
     f32 = jnp.float32
     # Precision is pinned PER DOT, never taken from the ambient
     # default_matmul_precision context: the kernel must behave identically
@@ -233,7 +235,6 @@ def _kernel(P_ref, Kinv_ref, A_ref, vec_ref, x_ref, z_ref, y_ref,
         iters = jnp.where(newly, done_iters, iters)
         return (x, z, y, k + 1, jnp.logical_or(done, ok), pri, dua, iters)
 
-    x0, z0, y0 = x_ref[:], z_ref[:], y_ref[:]
     # entry check: the one-stage-shifted warm start of a slowly-drifting
     # FTOCP often already meets tolerance in steady state — such scenarios
     # exit after ONE residual evaluation (iters = 0) instead of paying a
@@ -245,17 +246,122 @@ def _kernel(P_ref, Kinv_ref, A_ref, vec_ref, x_ref, z_ref, y_ref,
             pri0, dua0,
             jnp.where(ok0, jnp.int32(0), jnp.int32(max_iter)))
     x, z, y, _, done, pri, dua, iters = jax.lax.while_loop(cond, body, init)
+    return x, y, pri, dua, iters, done
 
+
+def _stats_row(vals):
+    """Assemble a (1, _LANE) stats row (no scatter lowering on TPU)."""
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, _LANE), 1)
+    out = jnp.zeros((1, _LANE), jnp.float32)
+    for i, v in enumerate(vals):
+        out = out + jnp.where(col == i, v.astype(jnp.float32), 0.0)
+    return out
+
+
+def _kernel(P_ref, Kinv_ref, A_ref, vec_ref, x_ref, z_ref, y_ref,
+            out_x_ref, out_y_ref, out_stats_ref,
+            *, sigma: float, alpha: float, eps_abs: float, eps_rel: float,
+            max_iter: int, check_every: int, refine_steps: int,
+            iter_precision: str, np_: int, mp_: int):
+    x, y, pri, dua, iters, done = _admm_core(
+        P_ref[:], Kinv_ref[:], A_ref[:], vec_ref[:],
+        x_ref[:], z_ref[:], y_ref[:],
+        sigma=sigma, alpha=alpha, eps_abs=eps_abs, eps_rel=eps_rel,
+        max_iter=max_iter, check_every=check_every,
+        refine_steps=refine_steps, iter_precision=iter_precision,
+        np_=np_, mp_=mp_,
+    )
     out_x_ref[:] = x
     out_y_ref[:] = y
-    # no scatter lowering on TPU: assemble the stats row via iota masks
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, _LANE), 1)
-    out_stats_ref[:] = (
-        jnp.where(col == 0, pri, 0.0)
-        + jnp.where(col == 1, dua, 0.0)
-        + jnp.where(col == 2, iters.astype(f32), 0.0)
-        + jnp.where(col == 3, done.astype(f32), 0.0)
+    out_stats_ref[:] = _stats_row(
+        [pri, dua, iters.astype(jnp.float32), done.astype(jnp.float32)])
+
+
+def _kernel_fused(P_ref, Arho_ref, Kinv0_ref, A_ref, vec_ref,
+                  x_ref, z_ref, y_ref,
+                  out_x_ref, out_y_ref, out_stats_ref, out_kinv_ref,
+                  *, sigma: float, alpha: float, eps_abs: float,
+                  eps_rel: float, max_iter: int, check_every: int,
+                  refine_steps: int, iter_precision: str,
+                  ns_tol: float, ns_max_iters: int,
+                  n_real: int, np_: int, mp_: int):
+    """Fused prologue + ADMM: K build, Newton-Schulz refresh, iteration loop.
+
+    Mirrors ops/qp._build_K + ops/qp._ns_inverse (same two-pass structure,
+    same Frobenius contraction test, same Jacobi fallback init) but runs
+    per scenario in VMEM: a lane whose warm inverse is stale pays ITS OWN
+    ~30-iteration cold build without dragging the batch (the XLA vmapped
+    while_loop runs all lanes to the slowest). ``Arho`` = A * rho[:, None]
+    (computed XLA-side: a (mp,1)-shaped broadcast does not lower well in
+    Mosaic). ``vec[7, 1]`` carries the warm-validity flag.
+    """
+    f32 = jnp.float32
+    hi = jax.lax.Precision.HIGHEST
+    A = A_ref[:]
+    P = P_ref[:]
+    X0 = Kinv0_ref[:]
+    vec = vec_ref[:]
+    warm_ok = vec[7, 1] > 0.5
+
+    def dot(a, b, dims):
+        return jax.lax.dot_general(
+            a, b, (dims, ((), ())), precision=hi,
+            preferred_element_type=f32)
+
+    r_i = jax.lax.broadcasted_iota(jnp.int32, (np_, np_), 0)
+    c_i = jax.lax.broadcasted_iota(jnp.int32, (np_, np_), 1)
+    eye = (r_i == c_i).astype(f32)
+    # K = P + sigma I + A' rho A; the padded tail of the diagonal is 1 (an
+    # exactly-invertible identity block — with sigma there, the Jacobi
+    # init's norm scaling would leave a persistent pad residual)
+    diag_add = jnp.where(
+        r_i == c_i, jnp.where(r_i < n_real, sigma, 1.0), 0.0)
+    K = dot(A, Arho_ref[:], ((0,), (0,))) + P + diag_add
+
+    # Jacobi init (ops/qp._ns_inverse lines: d, KXj, cj, Xj)
+    diag_k = jnp.sum(K * eye, axis=0, keepdims=True)        # (1, np_)
+    d = 1.0 / jnp.clip(diag_k, 1e-12, None)
+    Rj = eye - K * d                                        # K @ diag(d)
+    cj = jnp.sqrt(jnp.sum(Rj * Rj))
+    Xj = (eye * d) / jnp.maximum(cj, 1.0)
+
+    R0 = eye - dot(K, X0, ((1,), (0,)))
+    r0_f = jnp.sqrt(jnp.sum(R0 * R0))
+    use_warm = warm_ok & jnp.isfinite(r0_f) & (r0_f < 0.9)
+    X_init = jnp.where(use_warm, X0, Xj)
+
+    def ns_run(X):
+        def cond(st):
+            _, r, it = st
+            return jnp.logical_and(r > ns_tol, it < ns_max_iters)
+
+        def body(st):
+            X, _, it = st
+            R = eye - dot(K, X, ((1,), (0,)))
+            return (X + dot(X, R, ((1,), (0,))),
+                    jnp.max(jnp.abs(R)), it + 1)
+
+        X, r, _ = jax.lax.while_loop(
+            cond, body, (X, jnp.asarray(jnp.inf, f32), jnp.int32(0)))
+        return X, r
+
+    X, r1 = ns_run(X_init)
+    bad = jnp.logical_not(jnp.isfinite(r1)) | (r1 > 50 * ns_tol)
+    Kinv, ns_resid = ns_run(jnp.where(bad, Xj, X))
+
+    x, y, pri, dua, iters, done = _admm_core(
+        P, Kinv, A, vec, x_ref[:], z_ref[:], y_ref[:],
+        sigma=sigma, alpha=alpha, eps_abs=eps_abs, eps_rel=eps_rel,
+        max_iter=max_iter, check_every=check_every,
+        refine_steps=refine_steps, iter_precision=iter_precision,
+        np_=np_, mp_=mp_,
     )
+    out_x_ref[:] = x
+    out_y_ref[:] = y
+    out_kinv_ref[:] = Kinv
+    out_stats_ref[:] = _stats_row(
+        [pri, dua, iters.astype(jnp.float32), done.astype(jnp.float32),
+         ns_resid])
 
 
 @functools.partial(
@@ -342,3 +448,101 @@ def admm_iterate(
     iters = stats[0, 2].astype(jnp.int32)
     solved = stats[0, 3] > 0.5
     return x, y, pri, dua, iters, solved
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sigma", "alpha", "eps_abs", "eps_rel", "max_iter",
+                     "check_every", "refine_steps", "iter_precision",
+                     "ns_tol", "ns_max_iters", "interpret"),
+)
+def admm_iterate_fused(
+    P: jnp.ndarray,       # (n, n) scaled quadratic cost
+    A: jnp.ndarray,       # (m, n) scaled constraints
+    Kinv0: jnp.ndarray,   # (n, n) previous step's KKT inverse (warm start)
+    warm_ok: jnp.ndarray, # () bool — Kinv0 usable
+    q: jnp.ndarray,       # (n,)
+    l: jnp.ndarray,       # (m,) (-inf ok)
+    u: jnp.ndarray,       # (m,)
+    rho: jnp.ndarray,     # (m,)
+    D: jnp.ndarray,       # (n,) unscaling
+    E: jnp.ndarray,       # (m,)
+    c: jnp.ndarray,       # () cost scaling
+    x0: jnp.ndarray, z0: jnp.ndarray, y0: jnp.ndarray,
+    *, sigma: float, alpha: float, eps_abs: float, eps_rel: float,
+    max_iter: int, check_every: int, refine_steps: int,
+    ns_tol: float, ns_max_iters: int,
+    iter_precision: str = "highest",
+    interpret: bool = False,
+):
+    """Fused K-build + Newton-Schulz + ADMM for one (scaled) QP; vmap for a
+    batch. Returns (x, y, pri, dua, iters, solved, kinv, ns_resid) — kinv is
+    the refreshed (n, n) KKT inverse for the FactorCache."""
+    n, m = P.shape[0], A.shape[0]
+    np_, mp_ = _pad_to(n), _pad_to(m)
+    f32 = jnp.float32
+
+    Pp = jnp.zeros((np_, np_), f32).at[:n, :n].set(P.astype(f32))
+    Ap = jnp.zeros((mp_, np_), f32).at[:m, :n].set(A.astype(f32))
+    # pad tail of the warm inverse's diagonal is 1, matching the padded K's
+    # identity tail — otherwise R0's pad residual alone rejects every warm
+    # start (sqrt(pad) > 0.9)
+    pad_eye = jnp.concatenate(
+        [jnp.zeros(n, f32), jnp.ones(np_ - n, f32)])
+    Kp0 = (jnp.zeros((np_, np_), f32).at[:n, :n].set(Kinv0.astype(f32))
+           + jnp.diag(pad_eye))
+
+    def padv(v, size, fill=0.0):
+        out = jnp.full((size,), fill, f32)
+        return out.at[: v.shape[0]].set(v.astype(f32))
+
+    rho_p = padv(rho, mp_, fill=1.0)
+    Arho = Ap * rho_p[:, None]
+
+    l_f = jnp.clip(l, -_BIG, _BIG)
+    u_f = jnp.clip(u, -_BIG, _BIG)
+    vec = jnp.zeros((8, mp_), f32)
+    vec = vec.at[0, :np_].set(padv(q, np_))
+    vec = vec.at[1].set(padv(l_f, mp_))
+    vec = vec.at[2].set(padv(u_f, mp_))
+    vec = vec.at[3].set(rho_p)
+    vec = vec.at[4].set(padv(1.0 / rho, mp_, fill=1.0))
+    vec = vec.at[5, :np_].set(padv(D, np_))
+    vec = vec.at[6].set(padv(1.0 / E, mp_))
+    vec = vec.at[7, 0].set((1.0 / c).astype(f32))
+    vec = vec.at[7, 1].set(warm_ok.astype(f32))
+
+    xp = padv(x0, np_)[None, :]
+    zp = padv(z0, mp_)[None, :]
+    yp = padv(y0, mp_)[None, :]
+
+    kern = functools.partial(
+        _kernel_fused, sigma=float(sigma), alpha=float(alpha),
+        eps_abs=float(eps_abs), eps_rel=float(eps_rel),
+        max_iter=int(max_iter), check_every=int(check_every),
+        refine_steps=int(refine_steps), iter_precision=str(iter_precision),
+        ns_tol=float(ns_tol), ns_max_iters=int(ns_max_iters),
+        n_real=n, np_=np_, mp_=mp_,
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct((1, np_), f32),
+        jax.ShapeDtypeStruct((1, mp_), f32),
+        jax.ShapeDtypeStruct((1, _LANE), f32),
+        jax.ShapeDtypeStruct((np_, np_), f32),
+    ]
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    ox, oy, stats, okinv = pl.pallas_call(
+        kern,
+        out_shape=out_shape,
+        in_specs=[vmem] * 8,
+        out_specs=[vmem] * 4,
+        interpret=interpret,
+    )(Pp, Arho, Kp0, Ap, vec, xp, zp, yp)
+
+    x = ox[0, :n]
+    y = oy[0, :m]
+    pri, dua = stats[0, 0], stats[0, 1]
+    iters = stats[0, 2].astype(jnp.int32)
+    solved = stats[0, 3] > 0.5
+    ns_resid = stats[0, 4]
+    return x, y, pri, dua, iters, solved, okinv[:n, :n], ns_resid

@@ -396,23 +396,51 @@ def _solve_impl(qp, cfg, warm, fac):
         warm_ok = jnp.asarray(False)
         age = jnp.zeros((), jnp.int32)
 
-    # --- phase 1: warmup at rho0, then one rho adaptation ------------------
-    # (OSQP-style: adapt on the primal/dual residual ratio. A single early
-    # adaptation keeps the factorization count at 2; in steady state the
-    # carried rho no longer changes, so the phase-2 NS refresh is free.)
     total = cfg.max_iter
-    warmup = min(cfg.warmup_iters, total)
-    rho = rho0
-    K1 = _build_K(qp_s, rho, sigma)
-    Kinv1, ns_resid1 = _ns_inverse(K1, kinv0, warm_ok, ns_tol, cfg.ns_max_iters)
-
-    # --- Pallas fast path: fixed rho, whole iteration loop in one kernel ---
     use_pallas = (
         cfg.use_pallas
         and dt == jnp.float32
         and not cfg.adaptive_rho
         and (cfg.pallas_interpret or jax.default_backend() == "tpu")
     )
+
+    # --- Pallas fused path: K build + Newton-Schulz + iteration loop all in
+    # one VMEM-resident kernel. Removes every per-step XLA GEMM from the
+    # solve; crucially the NS refresh early-exits PER SCENARIO, so one stale
+    # lane no longer drags the batch through a lockstep cold build
+    # (examples/profile_qp.py measured that at 13.9 ms/step, batch 256).
+    if use_pallas and cfg.pallas_fused_ns:
+        from racinglmpc_tpu.ops import pallas_qp
+
+        (x, y, pri_k, dua_k, iters, solved, kinv_new,
+         ns_resid) = pallas_qp.admm_iterate_fused(
+            qp_s.P, qp_s.A, kinv0, warm_ok,
+            qp_s.q, qp_s.l, qp_s.u, rho0, D, E, c,
+            x, z, y,
+            sigma=cfg.sigma, alpha=cfg.alpha,
+            eps_abs=cfg.eps_abs, eps_rel=cfg.eps_rel,
+            max_iter=total, check_every=cfg.check_every,
+            refine_steps=cfg.kkt_refine_steps,
+            ns_tol=ns_tol, ns_max_iters=cfg.ns_max_iters,
+            iter_precision=cfg.pallas_iter_precision,
+            interpret=cfg.pallas_interpret,
+        )
+        return _finish(orig, cfg, dt, n, m, is_eq,
+                       x_u=D * x, y_u=E * y / c,
+                       solved=solved, iters=iters,
+                       kinv=kinv_new, ns_resid=ns_resid, ns_tol=ns_tol,
+                       D=D, E=E, c=c, age=age, pre=(pri_k, dua_k))
+
+    # --- phase 1: warmup at rho0, then one rho adaptation ------------------
+    # (OSQP-style: adapt on the primal/dual residual ratio. A single early
+    # adaptation keeps the factorization count at 2; in steady state the
+    # carried rho no longer changes, so the phase-2 NS refresh is free.)
+    warmup = min(cfg.warmup_iters, total)
+    rho = rho0
+    K1 = _build_K(qp_s, rho, sigma)
+    Kinv1, ns_resid1 = _ns_inverse(K1, kinv0, warm_ok, ns_tol, cfg.ns_max_iters)
+
+    # --- Pallas fast path: fixed rho, whole iteration loop in one kernel ---
     if use_pallas:
         from racinglmpc_tpu.ops import pallas_qp
 
@@ -504,8 +532,15 @@ def _solve_impl(qp, cfg, warm, fac):
 
 
 def _finish(orig, cfg, dt, n, m, is_eq, *, x_u, y_u, solved, iters,
-            kinv, ns_resid, ns_tol, D, E, c, age):
-    """Shared epilogue: optional polish, final residuals, cache packing."""
+            kinv, ns_resid, ns_tol, D, E, c, age, pre=None):
+    """Shared epilogue: optional polish, final residuals, cache packing.
+
+    ``pre``: optional (pri, dua) UNSCALED residuals already computed by the
+    Pallas kernel's (full-precision) exit check — with polish off they are
+    the same quantities this epilogue would recompute with 4 batched
+    matvecs, so reuse them (the kernel's ``solved`` flag already encodes
+    the relative-tolerance test).
+    """
     if cfg.polish:
         x_p, y_p = _polish(orig, x_u, y_u, is_eq, cfg)
         ones_n = jnp.ones(n, dt)
@@ -521,12 +556,17 @@ def _finish(orig, cfg, dt, n, m, is_eq, *, x_u, y_u, solved, iters,
     else:
         polished = jnp.asarray(False)
 
-    pri_f, dua_f, pri_sc, dua_sc = _residuals(
-        orig, x_u, y_u, jnp.ones(n, dt), jnp.ones(m, dt), jnp.asarray(1.0, dt)
-    )
-    solved_f = (pri_f < cfg.eps_abs + cfg.eps_rel * pri_sc) & (
-        dua_f < cfg.eps_abs + cfg.eps_rel * dua_sc
-    )
+    if pre is not None and not cfg.polish:
+        pri_f, dua_f = pre
+        solved_f = solved
+    else:
+        pri_f, dua_f, pri_sc, dua_sc = _residuals(
+            orig, x_u, y_u, jnp.ones(n, dt), jnp.ones(m, dt),
+            jnp.asarray(1.0, dt)
+        )
+        solved_f = (pri_f < cfg.eps_abs + cfg.eps_rel * pri_sc) & (
+            dua_f < cfg.eps_abs + cfg.eps_rel * dua_sc
+        )
     fac_out = FactorCache(
         kinv=kinv, D=D, E=E, c=c,
         valid=jnp.all(jnp.isfinite(kinv)) & (ns_resid < 50 * ns_tol),

@@ -239,6 +239,13 @@ class SolverConfig:
     # removed: see the design notes in ops/pallas_qp.py)
     use_pallas: bool = False
     pallas_interpret: bool = False
+    # fuse the solve prologue into the Pallas kernel: K = P + sigma I +
+    # A' rho A and its Newton–Schulz inverse refresh run per scenario in
+    # VMEM (with per-scenario early exit) instead of XLA-side, where the
+    # vmapped NS while_loop pays the slowest lane's cold build for the
+    # whole batch (measured 13.9 ms of a 43.8 ms batch-256 solve —
+    # examples/profile_qp.py). Opt-in like use_pallas; requires it.
+    pallas_fused_ns: bool = False
     # matmul precision of the Pallas kernel's ITERATION-loop dots
     # ("highest" = 6-pass f32 | "bf16x3" = hand-rolled 3-product bf16
     # decomposition, ~2^-16 operator error at half the MXU passes |
@@ -259,9 +266,21 @@ class SolverConfig:
         ADMM kernel. The iteration budget is generous because the kernel's
         per-scenario early exit makes unused budget free (measured: bench
         throughput identical at max_iter 100/200/300; the larger budget
-        removes occasional hard-solve rejections)."""
+        removes occasional hard-solve rejections).
+
+        Round-3 tuning (examples/sweep_solver.py, one process, batch 256):
+        warm Ruiz 2 sweeps + full re-equilibration every 50 solves
+        (staleness-guarded; +7%), check_every 25 -> 4 (a residual check is
+        3 HIGHEST dots vs 7 per iteration, so fine-grained early exit is
+        nearly free and saves ~10 mean iterations; +12% more; plateau at
+        3-5, down at 2) — 5519 -> 6638 solves/s, rejects 13 -> 1 per 25600.
+        Quality-gated on the TPU product path: 16-lap lap-time totals
+        within 0.1% of the old preset (/tmp-committed artifact in
+        BENCH_solver_quality_16lap_tpu.json)."""
         return cls(max_iter=300, polish=False, adaptive_rho=False,
-                   use_pallas=True)
+                   use_pallas=True,
+                   scaling_warm_iters=2, scaling_refresh_every=50,
+                   check_every=4)
 
     @classmethod
     def balanced(cls) -> "SolverConfig":
@@ -269,7 +288,9 @@ class SolverConfig:
         :meth:`throughput` (measured ~2% faster converged lap times at
         roughly half the step rate)."""
         return cls(max_iter=300, polish=False, adaptive_rho=False,
-                   use_pallas=True, eps_abs=3e-4, eps_rel=3e-4)
+                   use_pallas=True, eps_abs=3e-4, eps_rel=3e-4,
+                   scaling_warm_iters=2, scaling_refresh_every=50,
+                   check_every=4)
 
     @classmethod
     def parity(cls) -> "SolverConfig":

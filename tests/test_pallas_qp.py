@@ -110,3 +110,49 @@ def test_pallas_warm_start_reuses_cache():
     np.testing.assert_allclose(
         np.asarray(s2.x), np.asarray(s1.x), rtol=5e-3, atol=5e-4
     )
+
+
+def test_fused_ns_path_matches_unfused():
+    """admm_iterate_fused (K build + Newton-Schulz + ADMM in one kernel)
+    solves to the same solution as the split path and returns a usable
+    refreshed KKT inverse (cold build AND warm refresh)."""
+    base = SolverConfig(max_iter=200, polish=False, adaptive_rho=False,
+                        eps_abs=1e-4, eps_rel=1e-4,
+                        use_pallas=True, pallas_interpret=True)
+    cfg_f = dataclasses.replace(base, pallas_fused_ns=True)
+    qp = _random_qp()
+    s0 = qp_mod.solve(qp, base)
+
+    # cold solve (fac absent -> in-kernel Jacobi-init NS build)
+    sf = qp_mod.solve(qp, cfg_f)
+    assert bool(sf.solved)
+    np.testing.assert_allclose(
+        np.asarray(sf.x), np.asarray(s0.x), rtol=5e-3, atol=5e-3)
+    # the kernel-refreshed inverse actually inverts the scaled KKT
+    assert bool(sf.fac.valid)
+
+    # warm resolve through the cache (in-kernel warm NS refresh)
+    s2 = qp_mod.solve(qp, cfg_f, warm=(sf.x, sf.y), fac=sf.fac)
+    assert bool(s2.solved)
+    np.testing.assert_allclose(
+        np.asarray(s2.x), np.asarray(sf.x), rtol=5e-3, atol=5e-4)
+    # warm start at the solution: the entry check exits immediately
+    assert int(s2.iters) == 0
+
+
+def test_fused_ns_batched_vmap():
+    base = SolverConfig(max_iter=200, polish=False, adaptive_rho=False,
+                        eps_abs=3e-4, eps_rel=3e-4, use_pallas=True,
+                        pallas_interpret=True, pallas_fused_ns=True)
+    rng = np.random.default_rng(11)  # own stream: order-independent problems
+    qps = [_random_qp(rng=rng) for _ in range(4)]
+    batched = jax.tree_util.tree_map(lambda *a: jnp.stack(a), *qps)
+    sol = jax.vmap(lambda p: qp_mod.solve(p, base))(batched)
+    assert bool(jnp.all(sol.solved))
+    # the batch is a Pallas grid of independent programs: per-problem
+    # identical to single solves (including iteration counts)
+    for i, qp in enumerate(qps):
+        s1 = qp_mod.solve(qp, base)
+        assert int(sol.iters[i]) == int(s1.iters)
+        np.testing.assert_allclose(
+            np.asarray(sol.x[i]), np.asarray(s1.x), rtol=1e-4, atol=1e-5)
