@@ -79,6 +79,10 @@ def main():
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--reps", type=int, default=20)
     ap.add_argument("--warm-steps", type=int, default=100)
+    ap.add_argument("--scaling", action="store_true",
+                    help="also fit the kernel's per-program fixed cost: "
+                         "time forced-iteration-count runs (eps=0 disables "
+                         "early exit) at several max_iter values")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
     B = args.batch
@@ -290,6 +294,49 @@ def main():
             "pallas_kernel_fused", s_kernel_fused, R,
             qp_s, fac, rho, D, E, c, warm)
 
+        # forced-iteration scaling: wall(B, max_iter) = B*(c0 + iters*c1).
+        # eps=0 defeats the early exit so every program runs EXACTLY
+        # max_iter iterations; the fit separates per-program fixed cost
+        # (c0: DMA, entry check, launch) from per-iteration cost (c1).
+        if args.scaling:
+            scale_pts = []
+            for mi in (4, 16, 64, 256):
+                def s_forced(eps, qp_s, Kinv, rho, D, E, c, warm, _mi=mi):
+                    def one(p, ki, r, d, e, cc, wx, wy):
+                        x = wx / d
+                        y = cc * wy / e
+                        z = jnp.clip(p.A @ x, p.l, p.u)
+                        return pallas_qp.admm_iterate(
+                            p.P, ki, p.A, p.q + eps, p.l, p.u, r, d, e, cc,
+                            x, z, y,
+                            sigma=scfg.sigma, alpha=scfg.alpha,
+                            eps_abs=0.0, eps_rel=0.0,
+                            max_iter=_mi, check_every=scfg.check_every,
+                            refine_steps=scfg.kkt_refine_steps,
+                            iter_precision=scfg.pallas_iter_precision,
+                        )
+                    return jax.vmap(one)(qp_s, Kinv, rho, D, E, c,
+                                         warm[0], warm[1])
+
+                ms = time_stage(f"kernel_forced_{mi}", s_forced, max(R, 6),
+                                qp_s, Kinv, rho, D, E, c, warm)
+                scale_pts.append((mi, ms))
+            xs_f = np.array([p[0] for p in scale_pts], dtype=float)
+            ys_f = np.array([p[1] for p in scale_pts], dtype=float)
+            c1, c0 = np.polyfit(xs_f, ys_f, 1)
+            scaling_fit = {
+                "kernel_fixed_us_per_program": round(c0 / B * 1e3, 2),
+                "kernel_us_per_program_iter": round(c1 / B * 1e3, 3),
+                "kernel_forced_ms": {int(m): round(v, 3)
+                                     for m, v in scale_pts},
+            }
+            print(f"[profile_qp] kernel fixed cost "
+                  f"{scaling_fit['kernel_fixed_us_per_program']} us/program, "
+                  f"{scaling_fit['kernel_us_per_program_iter']} us/iter",
+                  file=sys.stderr, flush=True)
+        else:
+            scaling_fit = None
+
         # per-lane NS warm-refresh iteration counts (the XLA path pays the
         # MAX over the batch in lockstep; the fused kernel pays per lane)
         def ns_iters_one(k, f):
@@ -359,6 +406,7 @@ def main():
                    "scaling_refresh_every": scfg.scaling_refresh_every,
                    "kkt_refine_steps": scfg.kkt_refine_steps,
                    "check_every": scfg.check_every},
+        **({"kernel_scaling": scaling_fit} if scaling_fit else {}),
     }
     print(json.dumps(rec))
     if args.out:
