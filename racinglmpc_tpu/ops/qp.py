@@ -424,6 +424,10 @@ def _solve_impl(qp, cfg, warm, fac):
             ns_tol=ns_tol, ns_max_iters=cfg.ns_max_iters,
             iter_precision=cfg.pallas_iter_precision,
             interpret=cfg.pallas_interpret,
+            rescue_max_iter=cfg.rescue_max_iter,
+            rescue_rho_scale=cfg.rescue_rho_scale,
+            rescue_trigger=cfg.rescue_trigger,
+            rescue_exit=cfg.rescue_exit,
         )
         return _finish(orig, cfg, dt, n, m, is_eq,
                        x_u=D * x, y_u=E * y / c,
@@ -444,7 +448,7 @@ def _solve_impl(qp, cfg, warm, fac):
     if use_pallas:
         from racinglmpc_tpu.ops import pallas_qp
 
-        x, y, pri_k, dua_k, iters, solved = pallas_qp.admm_iterate(
+        x, y, pri_k, dua_k, iters, solved, _rescued = pallas_qp.admm_iterate(
             qp_s.P, Kinv1, qp_s.A, qp_s.q, qp_s.l, qp_s.u, rho, D, E, c,
             x, z, y,
             sigma=cfg.sigma, alpha=cfg.alpha,
@@ -453,6 +457,11 @@ def _solve_impl(qp, cfg, warm, fac):
             refine_steps=cfg.kkt_refine_steps,
             iter_precision=cfg.pallas_iter_precision,
             interpret=cfg.pallas_interpret,
+            rescue_max_iter=cfg.rescue_max_iter,
+            rescue_rho_scale=cfg.rescue_rho_scale,
+            rescue_trigger=cfg.rescue_trigger,
+            rescue_exit=cfg.rescue_exit,
+            ns_tol=float(ns_tol), ns_max_iters=cfg.ns_max_iters,
         )
         return _finish(orig, cfg, dt, n, m, is_eq,
                        x_u=D * x, y_u=E * y / c,
@@ -523,6 +532,56 @@ def _solve_impl(qp, cfg, warm, fac):
             cond, body, (x, z, y, jnp.int32(0), solved, iters)
         )
         solved = solved | done
+
+    # --- rho-escalation rescue (XLA path; see pallas_qp._admm_core) --------
+    # rho is scaled ONLY on lanes whose unscaled primal residual would be
+    # rejected; for all other lanes rho_r == rho, K3 == K2, the warm NS
+    # refresh converges immediately and the (vmapped, lockstep) rescue loop
+    # runs zero chunks — steady-state cost is ~3 batched GEMMs.
+    if cfg.rescue_max_iter > 0:
+        pri_r, _, _, _ = _residuals(qp_s, x, y, D, E, c)
+        need = pri_r > cfg.rescue_trigger
+        s_r = jnp.where(need, cfg.rescue_rho_scale, 1.0).astype(dt)
+        rho_r = rho * s_r
+        K3 = _build_K(qp_s, rho_r, sigma)
+        Kinv3, _ = _ns_inverse(
+            K3, Kinv2 / s_r, jnp.asarray(True), ns_tol, cfg.ns_max_iters
+        )
+        one_iter_r = _make_admm_iter(
+            qp_s, Kinv3, rho_r, sigma, alpha, cfg.kkt_refine_steps
+        )
+        chunk_r = max(cfg.check_every, 1)
+        n_rchunks = max(-(-cfg.rescue_max_iter // chunk_r), 1)
+        it_main = jnp.minimum(iters, total)
+
+        def rcond(st):
+            _, _, _, k, done_r, _ = st
+            return jnp.logical_and(jnp.logical_not(done_r), k < n_rchunks)
+
+        def rbody(st):
+            x, z, y, k, done_r, iters = st
+
+            def body(carry, _):
+                return one_iter_r(*carry), None
+
+            (x, z, y), _ = jax.lax.scan(body, (x, z, y), None, length=chunk_r)
+            pri, dua, pri_sc, dua_sc = _residuals(qp_s, x, y, D, E, c)
+            ok = (
+                (pri < cfg.eps_abs + cfg.eps_rel * pri_sc)
+                & (dua < cfg.eps_abs + cfg.eps_rel * dua_sc)
+            ) | (pri < cfg.rescue_exit)
+            newly = ok & jnp.logical_not(done_r)
+            used = jnp.minimum((k + 1) * chunk_r, cfg.rescue_max_iter)
+            iters = jnp.where(newly, it_main + used, iters)
+            return (x, z, y, k + 1, done_r | ok, iters)
+
+        iters0 = jnp.where(need, it_main + cfg.rescue_max_iter, iters)
+        x, z, y, _, done_r, iters = jax.lax.while_loop(
+            rcond, rbody,
+            (x, z, y, jnp.int32(0), jnp.logical_not(need), iters0),
+        )
+        # _finish recomputes the final unscaled residuals and the solved
+        # flag from them, so rescued lanes are re-judged on their results
 
     return _finish(orig, cfg, dt, n, m, is_eq,
                    x_u=D * x, y_u=E * y / c,

@@ -257,6 +257,25 @@ class SolverConfig:
     # below this (float32 ADMM stalls on the *dual* residual at ~1e-1 while
     # the primal solution is accurate; divergence shows up as pri >> 1e-2)
     accept_pri_res: float = 1e-2
+    # --- rho-escalation rescue stage (round 4) ---
+    # Root-cause fix for the late-lap rejection bursts (the round-3 16-lap
+    # TPU artifact: lap 14/15 bursts of 21-41 rejected solves, lap times
+    # 79 -> 123+ steps). Replaying the captured burst QPs on the real TPU
+    # kernel (examples/probe_rejects.py + replay_rejects.py) showed every
+    # rejected solve needs a HIGHER rho — x5 converts 30/30 into accepted
+    # solves and improves accuracy vs the f64 oracle (|du0| p50 2.5e-2 ->
+    # 3.8e-3), while a 10x iteration budget alone fixes 5/30. When the main
+    # loop ends with unscaled primal residual > rescue_trigger (just under
+    # accept_pri_res, so anything the controller would reject), rho is
+    # scaled by rescue_rho_scale, the KKT inverse rebuilt (in-kernel and
+    # per-scenario on the Pallas path — only failing lanes pay), and up to
+    # rescue_max_iter further iterations run with a primal-only exit at
+    # rescue_exit. 0 disables (the default keeps the parity path and all
+    # golden tests byte-identical).
+    rescue_max_iter: int = 0
+    rescue_rho_scale: float = 5.0
+    rescue_trigger: float = 7.5e-3
+    rescue_exit: float = 1e-3
 
     @classmethod
     def throughput(cls) -> "SolverConfig":
@@ -280,7 +299,7 @@ class SolverConfig:
         return cls(max_iter=300, polish=False, adaptive_rho=False,
                    use_pallas=True,
                    scaling_warm_iters=2, scaling_refresh_every=50,
-                   check_every=4)
+                   check_every=4, rescue_max_iter=300)
 
     @classmethod
     def balanced(cls) -> "SolverConfig":
@@ -290,7 +309,7 @@ class SolverConfig:
         return cls(max_iter=300, polish=False, adaptive_rho=False,
                    use_pallas=True, eps_abs=3e-4, eps_rel=3e-4,
                    scaling_warm_iters=2, scaling_refresh_every=50,
-                   check_every=4)
+                   check_every=4, rescue_max_iter=300)
 
     @classmethod
     def parity(cls) -> "SolverConfig":

@@ -156,3 +156,88 @@ def test_fused_ns_batched_vmap():
         assert int(sol.iters[i]) == int(s1.iters)
         np.testing.assert_allclose(
             np.asarray(sol.x[i]), np.asarray(s1.x), rtol=1e-4, atol=1e-5)
+
+
+def _hard_rho_qp(rng=None):
+    """A QP + settings where the MAIN loop's rho is far too small to reach
+    primal feasibility within the budget — the regime of the late-lap
+    rejection bursts (round 4): the rescue stage must save it."""
+    qp = _random_qp(rng=rng)
+    base = SolverConfig(
+        max_iter=40, polish=False, adaptive_rho=False,
+        rho=1e-4, rho_eq_scale=1.0, warmup_iters=10, check_every=10,
+        scaling_iters=0, eps_abs=1e-4, eps_rel=1e-4,
+    )
+    return qp, base
+
+
+def test_rescue_fixes_low_rho_pallas():
+    """In-kernel rho-escalation rescue (interpret mode): a solve the
+    controller would reject (pri >= accept_pri_res) is converted into an
+    accepted, oracle-accurate one; a control QP that does not need rescue
+    is untouched (identical to rescue-off)."""
+    from tests.oracles import qp_ip
+
+    qp, base = _hard_rho_qp(np.random.default_rng(3))
+    off = dataclasses.replace(base, use_pallas=True, pallas_interpret=True)
+    on = dataclasses.replace(off, rescue_max_iter=400, rescue_rho_scale=100.0)
+
+    s_off = qp_mod.solve(qp, off)
+    assert float(s_off.pri_res) > off.accept_pri_res  # reproduces the reject
+
+    s_on = qp_mod.solve(qp, on)
+    assert float(s_on.pri_res) < on.rescue_exit
+
+    l, u = np.asarray(qp.l, np.float64), np.asarray(qp.u, np.float64)
+    A = np.asarray(qp.A, np.float64)
+    eq = np.isfinite(l)
+    z, _, _, conv = qp_ip.solve_qp(
+        np.asarray(qp.P, np.float64), np.asarray(qp.q, np.float64),
+        G=A[eq], g=u[eq], F=A[~eq], b=u[~eq],
+    )
+    assert conv
+    np.testing.assert_allclose(np.asarray(s_on.x), z, rtol=2e-2, atol=2e-2)
+
+    # an easy QP (healthy rho) must not trigger the rescue: bit-identical
+    easy = _random_qp(rng=np.random.default_rng(4))
+    e_on = dataclasses.replace(
+        SolverConfig(max_iter=200, polish=False, adaptive_rho=False,
+                     use_pallas=True, pallas_interpret=True),
+        rescue_max_iter=400)
+    e_off = dataclasses.replace(e_on, rescue_max_iter=0)
+    s1, s0 = qp_mod.solve(easy, e_on), qp_mod.solve(easy, e_off)
+    np.testing.assert_array_equal(np.asarray(s1.x), np.asarray(s0.x))
+    assert int(s1.iters) == int(s0.iters)
+
+
+def test_rescue_fixes_low_rho_xla():
+    """Same rescue semantics on the XLA (non-Pallas) path, incl. batched."""
+    qp, base = _hard_rho_qp(np.random.default_rng(5))
+    off = dataclasses.replace(base, use_pallas=False)
+    on = dataclasses.replace(off, rescue_max_iter=400, rescue_rho_scale=100.0)
+    s_off = qp_mod.solve(qp, off)
+    assert float(s_off.pri_res) > off.accept_pri_res
+    s_on = qp_mod.solve(qp, on)
+    assert float(s_on.pri_res) < on.rescue_exit
+
+    # batched (vmapped, lockstep loops): per-lane results identical to the
+    # solo solves, and an accepted lane must come out accepted
+    qp2 = _random_qp(rng=np.random.default_rng(6))
+    batched = jax.tree_util.tree_map(lambda *a: jnp.stack(a), qp, qp2)
+    sol = jax.vmap(lambda p: qp_mod.solve(p, on))(batched)
+    s2 = qp_mod.solve(qp2, on)
+    assert float(sol.pri_res[0]) < on.accept_pri_res
+    assert float(sol.pri_res[1]) < on.accept_pri_res
+    np.testing.assert_allclose(
+        np.asarray(sol.x[1]), np.asarray(s2.x), rtol=1e-4, atol=1e-4
+    )
+
+    # a healthy-rho config must leave no-trigger solves bit-identical
+    e_on = dataclasses.replace(
+        SolverConfig(max_iter=200, polish=False, adaptive_rho=False,
+                     use_pallas=False), rescue_max_iter=400)
+    e_off = dataclasses.replace(e_on, rescue_max_iter=0)
+    s1, s0 = qp_mod.solve(qp2, e_on), qp_mod.solve(qp2, e_off)
+    np.testing.assert_allclose(
+        np.asarray(s1.x), np.asarray(s0.x), rtol=1e-6, atol=1e-6
+    )
