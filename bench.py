@@ -92,6 +92,126 @@ def probe_backend(attempt_timeout_s: float = 150.0,
         time.sleep(min(30.0, max(deadline - time.time(), 0.0)))
 
 
+def quality_gate(cfg, trk, vp, x_seed, u_seed, xg_seed, steps_seed, key,
+                 *, laps: int = 12, batch: int = 8, chunk: int = 100,
+                 max_steps: int = 400, log=lambda *a: None) -> dict:
+    """On-TPU closed-loop quality check on the SAME preset bench measures.
+
+    Round-4 verdict item 4: CPU CI cannot see TPU solver numerics, and a
+    throughput "win" can hide a quality regression (round 3's preset was
+    +21% solves/s and the quality-worst at 16 laps). This runs a short
+    batched LMPC session (seeded with the bench's own PID lap) and gates the
+    headline on three criteria derived from the reference's implicit test —
+    printed lap times decrease (`/root/reference/src/main.py:120-127`):
+
+      improving:  mean steps of the last 3 laps < 0.6 x first lap
+      no_spike:   for laps >= 6, mean steps <= 1.3 x best-so-far
+                  (the round-3 late-lap burst was 1.43x)
+      rejects:    rejected solves <= 0.5% of executed steps
+
+    Returns a dict for the bench JSON line, including "pass".
+    """
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from racinglmpc_tpu.controllers import lmpc as lmpc_mod
+    from racinglmpc_tpu.models.dynamics import PlantState
+    from racinglmpc_tpu.runtime import experiment as exp
+    from racinglmpc_tpu.runtime import loop as loop_mod
+
+    L = trk.total_len
+    # seed laps (4) + quality laps must fit the safe-set capacity
+    lcfg = dataclasses.replace(cfg.lmpc, max_laps=cfg.lmpc.num_ss_it + laps + 2)
+    step = lmpc_mod.make_lmpc(lcfg, trk, cfg.solver, cfg.sim.dt)
+
+    def seed_one(_):
+        st = lmpc_mod.init_lmpc_state(lcfg)
+        for _ in range(lcfg.num_ss_it):
+            st = lmpc_mod.lmpc_add_trajectory(
+                st, lcfg, x_seed, u_seed, xg_seed, steps_seed, L
+            )
+        return st
+
+    state = jax.jit(jax.vmap(seed_one))(jnp.arange(batch))
+    x0 = jnp.tile(jnp.asarray([0.5, 0, 0, 0, 0, 0], jnp.float32), (batch, 1))
+    plant = PlantState(x=x0, x_glob=x0)
+
+    collect = lambda st: st.rejects > 0  # noqa: E731
+
+    if exp.fused_rollout_ok(cfg.sim):
+        runner = jax.jit(lambda cs, pl, ks, d0, s0: loop_mod.run_lap_fused(
+            step, cs, pl, ks, trk=trk, vp=vp, sim_cfg=cfg.sim,
+            max_steps=chunk, multi_lap=False, done0=d0, step0=s0,
+            collect_fn=collect,
+        ))
+    else:
+        runner = jax.jit(jax.vmap(
+            lambda cs, pl, k, d0, s0: loop_mod.run_lap(
+                step, cs, pl, k, trk=trk, vp=vp, sim_cfg=cfg.sim,
+                max_steps=chunk, multi_lap=False, done0=d0, step0=s0,
+                collect_fn=collect,
+            ),
+            in_axes=(0, 0, 0, 0, None),
+        ))
+
+    add_lap = jax.jit(jax.vmap(
+        lambda st, x, u, xg, s: lmpc_mod.lmpc_add_trajectory(
+            st, lcfg, x, u, xg, s, L
+        )
+    ))
+
+    lap_steps_mean, rejects_per_lap = [], []
+    for lap in range(laps):
+        keys = jax.random.split(jax.random.fold_in(key, lap), batch)
+        done = jnp.zeros(batch, bool)
+        xs, us, xgs, masks, rejs = [], [], [], [], []
+        s0 = 0
+        while s0 < max_steps:
+            res = runner(state, plant, keys, done, jnp.int32(s0))
+            state, plant, done = res.ctrl_state, res.plant_final, res.done
+            xs.append(res.x)
+            us.append(res.u)
+            xgs.append(res.x_glob)
+            masks.append(res.mask)
+            rejs.append(res.collected)
+            s0 += chunk
+            if bool(jax.device_get(jnp.all(done))):
+                break
+        x = jnp.concatenate(xs, axis=1)
+        u = jnp.concatenate(us, axis=1)
+        xg = jnp.concatenate(xgs, axis=1)
+        mask = jnp.concatenate(masks, axis=1)
+        rej = jnp.concatenate(rejs, axis=1)
+        steps = jnp.sum(mask, axis=1).astype(jnp.int32)
+        s_shift = jnp.zeros_like(plant.x).at[:, 4].set(L)
+        plant = PlantState(x=plant.x - s_shift, x_glob=plant.x_glob)
+        state = add_lap(state, x, u, xg, steps)
+        lap_steps_mean.append(float(jnp.mean(steps)))
+        rejects_per_lap.append(int(jnp.sum(rej & mask)))
+        log(f"quality lap {lap}: mean steps {lap_steps_mean[-1]:.1f}, "
+            f"rejects {rejects_per_lap[-1]}")
+
+    ls = np.asarray(lap_steps_mean)
+    total_steps = float(ls.sum()) * batch
+    improving = float(ls[-3:].mean()) < 0.6 * float(ls[0])
+    best = np.minimum.accumulate(ls)
+    no_spike = bool(np.all(ls[6:] <= 1.3 * best[5:-1]))
+    rej_total = int(sum(rejects_per_lap))
+    rejects_ok = rej_total <= 0.005 * total_steps
+    return {
+        "laps_mean_steps": [round(v, 1) for v in lap_steps_mean],
+        "rejects_per_lap": rejects_per_lap,
+        "batch": batch,
+        "improving": bool(improving),
+        "no_spike": bool(no_spike),
+        "rejects_ok": bool(rejects_ok),
+        "pass": bool(improving and no_spike and rejects_ok),
+    }
+
+
 def _failure_record(stage: str, err: str) -> dict:
     rec = {
         "metric": _METRIC, "value": 0.0, "unit": _UNIT, "vs_baseline": 0.0,
@@ -227,6 +347,24 @@ def main(batch: int = 256, steps: int = 50, reps: int = 3,
         "admm_iters_p99": int(np.percentile(it, 99)),
         "batch": batch,
     }
+    # ---- on-TPU quality gate on the SAME preset (round-4 item 4) ----------
+    log("running quality gate (12-lap batched LMPC session)...")
+    t0 = time.time()
+    try:
+        q = quality_gate(
+            cfg, trk, vp, x_seed, u_seed, xg_seed, steps_seed,
+            jax.random.fold_in(key, 99), log=log,
+        )
+    except BaseException as e:  # noqa: BLE001 - gate failure must be visible
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        q = {"pass": False, "error": f"{type(e).__name__}: {e}"[:300]}
+    log(f"quality gate: {time.time() - t0:.1f}s")
+    result["quality"] = q
+    if not q.get("pass"):
+        _log("[bench] QUALITY GATE FAILED — the throughput number above is "
+             "not a valid headline: " + json.dumps(q))
     print(json.dumps(result), flush=True)
     return result
 

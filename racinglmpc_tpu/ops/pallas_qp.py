@@ -283,8 +283,12 @@ def _admm_core(P, Kinv, A, vec, x0, z0, y0,
         r_i = jax.lax.broadcasted_iota(jnp.int32, (np_, np_), 0)
         c_i = jax.lax.broadcasted_iota(jnp.int32, (np_, np_), 1)
         eye = (r_i == c_i).astype(f32)
+        # branches pinned to f32: under jax_enable_x64 a where() over python
+        # floats yields f64, which Mosaic cannot lower (SIGABRT at compile)
         diag_add = jnp.where(
-            r_i == c_i, jnp.where(r_i < n_real, sigma, 1.0), 0.0)
+            r_i == c_i,
+            jnp.where(r_i < n_real, jnp.float32(sigma), jnp.float32(1.0)),
+            jnp.float32(0.0))
         # K2 = P + sigma I + A' (s rho) A; pad-block diagonal is exactly 1
         K2 = _dot(A, Arho, ((0,), (0,)), hi) * s + P + diag_add
 
@@ -292,7 +296,7 @@ def _admm_core(P, Kinv, A, vec, x0, z0, y0,
         # dominates K), Jacobi fallback — the two-pass structure of
         # ops/qp._ns_inverse
         diag_k = jnp.sum(K2 * eye, axis=0, keepdims=True)
-        dg = 1.0 / jnp.clip(diag_k, 1e-12, None)
+        dg = 1.0 / jnp.clip(diag_k, jnp.float32(1e-12), None)
         Rj = eye - K2 * dg
         cj = jnp.sqrt(jnp.sum(Rj * Rj))
         Xj = (eye * dg) / jnp.maximum(cj, 1.0)
@@ -377,7 +381,10 @@ def _stats_row(vals):
     col = jax.lax.broadcasted_iota(jnp.int32, (1, _LANE), 1)
     out = jnp.zeros((1, _LANE), jnp.float32)
     for i, v in enumerate(vals):
-        out = out + jnp.where(col == i, v.astype(jnp.float32), 0.0)
+        # literal pinned to f32: under jax_enable_x64 a python-float branch
+        # materializes as f64[] and Mosaic cannot legalize the truncf
+        out = out + jnp.where(col == i, v.astype(jnp.float32),
+                              jnp.float32(0.0))
     return out
 
 
@@ -454,7 +461,9 @@ def _kernel_fused(P_ref, Arho_ref, Kinv0_ref, A_ref, vec_ref,
     # exactly-invertible identity block — with sigma there, the Jacobi
     # init's norm scaling would leave a persistent pad residual)
     diag_add = jnp.where(
-        r_i == c_i, jnp.where(r_i < n_real, sigma, 1.0), 0.0)
+        r_i == c_i,
+        jnp.where(r_i < n_real, jnp.float32(sigma), jnp.float32(1.0)),
+        jnp.float32(0.0))
     K = dot(A, Arho_ref[:], ((0,), (0,))) + P + diag_add
 
     # Jacobi init (ops/qp._ns_inverse lines: d, KXj, cj, Xj)
