@@ -246,7 +246,11 @@ def main():
             *a, sigma=scfg.sigma, alpha=scfg.alpha, eps_abs=scfg.eps_abs,
             eps_rel=scfg.eps_rel, max_iter=scfg.max_iter,
             check_every=scfg.check_every,
-            refine_steps=scfg.kkt_refine_steps, interpret=False))(
+            refine_steps=scfg.kkt_refine_steps, interpret=False,
+            rescue_max_iter=scfg.rescue_max_iter,
+            rescue_rho_scale=scfg.rescue_rho_scale,
+            rescue_trigger=scfg.rescue_trigger,
+            rescue_exit=scfg.rescue_exit))(
             qp_sP, Kinv, A, q, l, u, rho, D, E, c, x, z, y),
         qp_s.P, Kinv, qp_s.A, qp_s.q, qp_s.l, qp_s.u, rho, D, E, c,
         x0s, z0s, y0s))
@@ -281,11 +285,23 @@ def main():
                 qp_mod.QPData(a[0], a[1], a[2], a[3], a[4]), scfg,
                 warm=(a[5], a[6]), fac=a[7]).x)(P, q, A, l, u, wx, wy, fac),
         qp.P, qp.q, qp.A, qp.l, qp.u, state.warm_x, state.warm_y, state.fac))
+    # prologue measured DIRECTLY (round-4 item 5: subtracting overlapped
+    # stages produced a physically-absurd negative number in round 3);
+    # overlap = how much of (prologue + kernel) XLA hides inside the full
+    # solve — reported as overlap, clamped >= 0.
+    t_pro = _slope_time(scan_of(
+        lambda P, q, A, l, u, wx, wy, fac: jax.vmap(prologue)(
+            qp_mod.QPData(P, q, A, l, u), fac, (wx, wy))[5],
+        qp.P, qp.q, qp.A, qp.l, qp.u, state.warm_x, state.warm_y, state.fac))
     rows["qp_solve_full"] = dict(
         wall_ms=t_solve * 1e3,
-        prologue_ms=(t_solve - t_admm) * 1e3,
-        note="prologue = warm Ruiz (10 sweeps) + K build + warm "
-             "Newton-Schulz + epilogue residuals",
+        kernel_ms=t_admm * 1e3,
+        prologue_ms=t_pro * 1e3,
+        overlap_ms=max((t_pro + t_admm - t_solve) * 1e3, 0.0),
+        note="prologue (measured directly) = warm Ruiz "
+             f"({scfg.scaling_warm_iters} sweeps) + K build + warm "
+             "Newton-Schulz; overlap = prologue + kernel - full solve "
+             "(XLA pipelines the stages)",
     )
 
     # ---- 3. pallas_sysid --------------------------------------------------
@@ -320,10 +336,13 @@ def main():
         from racinglmpc_tpu.ops.pallas_rollout import plant_step_batch
 
         u_apply = state.u_pred[:, 0]
+        # the rollout is ~tens of us per call: a 10-rep slope is below timer
+        # noise (round 3 committed wall 0.0 -> tflops 156x peak); resolve it
+        # with a 480-rep slope instead
         t_roll = _slope_time(scan_of(
             lambda px, pxg, uu: plant_step_batch(px, pxg, uu, vp, trk,
                                                  cfg.sim),
-            plant.x, plant.x_glob, u_apply))
+            plant.x, plant.x_glob, u_apply), r_lo=32, r_hi=512)
         # ~60 VPU flops x 2 frames x 100 substeps per scenario (elementwise;
         # no MXU work)
         flops_roll = float(2 * 60 * 100 * B)
