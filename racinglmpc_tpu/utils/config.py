@@ -295,7 +295,18 @@ class SolverConfig:
         3-5, down at 2) — 5519 -> 6638 solves/s, rejects 13 -> 1 per 25600.
         Quality-gated on the TPU product path: 16-lap lap-time totals
         within 0.1% of the old preset (/tmp-committed artifact in
-        BENCH_solver_quality_16lap_tpu.json)."""
+        BENCH_solver_quality_16lap_tpu.json).
+
+        Round-4 tuning: the rescue stage (rescue_max_iter=300) fixed the
+        late-lap rejection bursts for ~0.8% throughput — quality-gated at
+        the reference's full 40-lap scale: 0.46% cumulative lap-time error,
+        0 rejects (BENCH_solver_quality_40lap_tpu.json). rho=0.1 is
+        QUALITY-OPTIMAL and must not be lowered for speed: rho 0.03 sweeps
+        +13% solves/s with p99 iters 40 (vs 68) but fails the 16-lap TPU
+        quality run at 13.98% cumulative error (rho 0.05: 4.91%) — the
+        early-lap sweep workload does not represent converged-lap FTOCPs.
+        Earlier rescue escalation (max_iter 40/60) explodes rejections
+        2 -> 2461 per 25600. The p99 iteration tail is load-bearing."""
         return cls(max_iter=300, polish=False, adaptive_rho=False,
                    use_pallas=True,
                    scaling_warm_iters=2, scaling_refresh_every=50,
