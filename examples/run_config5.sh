@@ -1,21 +1,30 @@
 #!/bin/bash
-# BASELINE config 5 at the committed single-chip half-scale scope
-# (batch 2048, 30 LMPC laps), restartable across TPU-tunnel wedges:
-# checkpoints land every 2 laps (presets.run_preset) and each retry
+# BASELINE config 5 at the single-chip scope, restartable across TPU-tunnel
+# wedges: checkpoints land every 2 laps (presets.run_preset) and each retry
 # resumes from the last checkpoint instead of restarting the run.
-# Usage: bash examples/run_config5.sh [ckpt_dir] [out_json]
+#
+# Scale note (round 4): batch 2048 (scale 0.5) fit the chip in round 3 but
+# deterministically OOMs in round 4 with memory-neutral code diffs (suspected
+# remote free-HBM residue on the shared tunnel chip); 1792 (scale 0.4375) is
+# the largest batch that fits and is what BENCH_config5_lmpc_4k.json records.
+# Usage: bash examples/run_config5.sh [ckpt_dir] [out_json] [scale]
 set -u
 CKPT="${1:-/root/repo/.ckpt_config5}"
 OUT="${2:-/root/repo/BENCH_config5_lmpc_4k.json}"
+SCALE="${3:-0.4375}"
 cd /root/repo
-for i in $(seq 1 10); do
-  echo "[config5] attempt $i" >&2
+for i in $(seq 1 12); do
+  echo "[config5] attempt $i $(date)" >&2
   timeout 5400 python -c "
 from racinglmpc_tpu.runtime import presets
 import json
-out = presets.run_preset('config5_lmpc_4k', scale_batch=0.5,
+out = presets.run_preset('config5_lmpc_4k', scale_batch=${SCALE},
                          checkpoint_dir='${CKPT}', resume=True,
                          verbose=True)
+out['scope_note'] = ('single-chip scale: batch 1792 = largest fitting the '
+                     'chip free HBM in round 4 (2048 fit in round 3, OOMs '
+                     'in round 4 with memory-neutral code diffs; suspected '
+                     'remote HBM residue)')
 with open('${OUT}', 'w') as f:
     json.dump(out, f, indent=1)
 print(json.dumps(out))
