@@ -1,0 +1,336 @@
+"""Cross-chip sharded giant-QP solver: one QP's dense blocks over a mesh.
+
+This is the SURVEY §5.8 stretch goal and the BASELINE north-star clause
+"dense blocks reduced via ICI collectives": solve ONE dense QP
+
+    min 1/2 x'Px + q'x   s.t.   l <= Ax <= u
+
+whose matrices do not fit (or are not worth holding) on a single chip, by
+sharding ``P`` and ``A`` **row-wise** over a mesh axis and running every
+matvec as a local GEMV plus ICI collectives. The product FTOCP (n=200) is
+VMEM-resident and is served by the batched dense solver (``ops/qp.py``) —
+per PARITY.md, sharding *that* problem adds collective latency for nothing.
+This module exists for the regime the dense solver cannot enter: n in the
+tens of thousands, where the dense KKT inverse alone (n^2 floats) exceeds a
+chip's HBM. Per-chip memory here is (n + m) * n / p floats for the operator
+blocks plus O((n + m)) vectors, so capacity scales linearly with mesh size.
+
+Algorithm: OSQP-style ADMM in *indirect* mode (the dense solver's
+Newton-Schulz KKT **inverse** is exactly the object that cannot exist at
+giant scale), matching OSQP's own indirect linear-system option
+(`/root/reference/src/fnc/controller/PredictiveControllers.py:259-283` uses
+the direct mode at n=200): the x-update system
+
+    K xt = rhs,   K = P + sigma*I + A' diag(rho) A
+
+is solved by conjugate gradient, warm-started from the previous iterate.
+Each K@v costs three local GEMVs and exactly two collectives:
+
+    t1 = all_gather_p( P_blk @ v )            # row shards -> full (n,)
+    t3 = psum_p( A_blk' (rho_blk * (A_blk @ v)) )   # partial sums -> (n,)
+    K@v = t1 + sigma*v + t3
+
+CG vectors (x, r, p) are replicated (n,); the constraint-space state
+(z, y, l, u, rho, E) stays sharded (m/p,) and its ADMM updates are purely
+local. Ruiz equilibration runs sharded as well: column norms are
+``pmax``-reduced across row shards, row norms are local.
+
+Termination mirrors ``ops/qp.py``: residuals are checked every
+``check_every`` iterations inside a ``while_loop`` whose predicate is a
+replicated scalar, so every device exits the loop on the same iteration —
+no device ever waits on a peer inside an iteration, only inside the
+collectives themselves.
+
+Validated against the vendored float64 interior-point oracle on an 8-device
+mesh (``tests/test_qp_sharded.py``); the same program runs unchanged on a
+multi-chip TPU slice, where the two collectives ride ICI.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from racinglmpc_tpu.ops.qp import QPData
+
+BLOCK_AXIS = "block"
+
+
+@dataclasses.dataclass(frozen=True)
+class ShardedSolverConfig:
+    """ADMM + CG settings for the sharded giant-QP solver.
+
+    The defaults mirror ``SolverConfig`` where the algorithms coincide
+    (rho/sigma/alpha/tolerances/Ruiz); the CG fields are specific to the
+    indirect mode. ``cg_tol`` is relative to ||rhs||; the classic indirect-
+    OSQP schedule tightens it as ADMM converges, but a fixed modest value
+    plus warm-started CG measures equally well at these conditionings and
+    keeps the loop state static.
+    """
+
+    max_iter: int = 500
+    rho: float = 0.1
+    rho_eq_scale: float = 1e3
+    sigma: float = 1e-6
+    alpha: float = 1.6
+    eps_abs: float = 1e-3
+    eps_rel: float = 1e-3
+    scaling_iters: int = 10
+    check_every: int = 25
+    cg_tol: float = 1e-6
+    cg_max_iter: int = 200
+
+
+class ShardedQPSolution(NamedTuple):
+    x: jnp.ndarray        # (n,) primal (original coordinates), replicated
+    y: jnp.ndarray        # (m,) dual, gathered back to the caller
+    pri_res: jnp.ndarray  # () final unscaled primal residual (inf norm)
+    dua_res: jnp.ndarray  # () final unscaled dual residual (inf norm)
+    solved: jnp.ndarray   # () bool
+    iters: jnp.ndarray    # () int32 ADMM iterations until tolerance
+    cg_iters: jnp.ndarray  # () int32 total CG iterations spent
+
+
+def _pad_qp(qp: QPData, p: int) -> tuple[QPData, int, int]:
+    """Pad n and m up to multiples of the mesh size.
+
+    Extra variables are decoupled (unit diagonal in P, zero q/A columns, so
+    their optimum is 0); extra constraint rows are all-zero with free bounds
+    (never active, never binding a residual).
+    """
+    n, m = qp.P.shape[0], qp.A.shape[0]
+    n_pad = (-n) % p
+    m_pad = (-m) % p
+    if n_pad == 0 and m_pad == 0:
+        return qp, n, m
+    dt = qp.P.dtype
+    P_ = jnp.zeros((n + n_pad, n + n_pad), dt).at[:n, :n].set(qp.P)
+    if n_pad:
+        P_ = P_.at[jnp.arange(n, n + n_pad), jnp.arange(n, n + n_pad)].set(1.0)
+    q_ = jnp.zeros(n + n_pad, dt).at[:n].set(qp.q)
+    A_ = jnp.zeros((m + m_pad, n + n_pad), dt).at[:m, :n].set(qp.A)
+    inf = jnp.asarray(jnp.inf, dt)
+    l_ = jnp.full(m + m_pad, -inf).at[:m].set(qp.l)
+    u_ = jnp.full(m + m_pad, inf).at[:m].set(qp.u)
+    return QPData(P_, q_, A_, l_, u_), n, m
+
+
+def _ruiz_sharded(P_l, q, A_l, l_l, u_l, iters: int, ax: str):
+    """Sharded modified Ruiz equilibration (see qp._ruiz_equilibrate).
+
+    Column norms of the row-sharded P/A blocks are global-``pmax`` reduced;
+    row norms and row scalings are local. D and c come back replicated,
+    E sharded.
+    """
+    dt = P_l.dtype
+    n = q.shape[0]
+    nl = P_l.shape[0]
+    ml = A_l.shape[0]
+    row0 = jax.lax.axis_index(ax) * nl
+
+    def body(_, carry):
+        P_l, q, A_l, l_l, u_l, D, E_l, c = carry
+        coln = jnp.maximum(
+            jax.lax.pmax(jnp.max(jnp.abs(P_l), axis=0), ax),
+            jax.lax.pmax(jnp.max(jnp.abs(A_l), axis=0), ax),
+        )
+        d = 1.0 / jnp.sqrt(jnp.where(coln > 1e-12, coln, 1.0))
+        rown = jnp.max(jnp.abs(A_l), axis=1)
+        e = 1.0 / jnp.sqrt(jnp.where(rown > 1e-12, rown, 1.0))
+        d_rows = jax.lax.dynamic_slice(d, (row0,), (nl,))
+        P_l = d_rows[:, None] * P_l * d[None, :]
+        q = d * q
+        A_l = e[:, None] * A_l * d[None, :]
+        l_l = e * l_l
+        u_l = e * u_l
+        cn = jnp.mean(jax.lax.pmax(jnp.max(jnp.abs(P_l), axis=0), ax))
+        gamma = 1.0 / jnp.maximum(jnp.maximum(cn, jnp.max(jnp.abs(q))), 1e-12)
+        P_l = gamma * P_l
+        q = gamma * q
+        return (P_l, q, A_l, l_l, u_l, D * d, E_l * e, c * gamma)
+
+    D = jnp.ones(n, dt)
+    E_l = jnp.ones(ml, dt)
+    c = jnp.asarray(1.0, dt)
+    return jax.lax.fori_loop(
+        0, iters, body, (P_l, q, A_l, l_l, u_l, D, E_l, c)
+    )
+
+
+def _solve_core(P_l, q, A_l, l_l, u_l, cfg: ShardedSolverConfig, ax: str):
+    """Per-device body (inside shard_map). Replicated args: q."""
+    dt = P_l.dtype
+    n = q.shape[0]
+
+    P_l, q, A_l, l_l, u_l, D, E_l, c = _ruiz_sharded(
+        P_l, q, A_l, l_l, u_l, cfg.scaling_iters, ax
+    )
+
+    is_eq_l = jnp.isfinite(l_l) & jnp.isfinite(u_l) & (u_l - l_l < 1e-12)
+    rho0_l = jnp.where(is_eq_l, cfg.rho * cfg.rho_eq_scale, cfg.rho).astype(dt)
+    sigma = jnp.asarray(cfg.sigma, dt)
+    alpha = jnp.asarray(cfg.alpha, dt)
+
+    def apply_K(v, rho_l):
+        t1 = jax.lax.all_gather(P_l @ v, ax, tiled=True)
+        t3 = jax.lax.psum(A_l.T @ (rho_l * (A_l @ v)), ax)
+        return t1 + sigma * v + t3
+
+    def cg(rhs, x0, rho_l):
+        """Warm-started CG on K x = rhs; all vectors replicated (n,)."""
+        r0 = rhs - apply_K(x0, rho_l)
+        tol2 = (cfg.cg_tol ** 2) * jnp.maximum(rhs @ rhs, 1e-30)
+
+        def cond(st):
+            _, _, _, rs, it = st
+            return jnp.logical_and(rs > tol2, it < cfg.cg_max_iter)
+
+        def body(st):
+            x, r, pvec, rs, it = st
+            Kp = apply_K(pvec, rho_l)
+            a = rs / jnp.maximum(pvec @ Kp, 1e-30)
+            x = x + a * pvec
+            r = r - a * Kp
+            rs_new = r @ r
+            pvec = r + (rs_new / jnp.maximum(rs, 1e-30)) * pvec
+            return (x, r, pvec, rs_new, it + 1)
+
+        x, _, _, _, it = jax.lax.while_loop(
+            cond, body, (x0, r0, r0, r0 @ r0, jnp.int32(0))
+        )
+        return x, it
+
+    def residuals(x, y_l):
+        # same residual definitions as qp._residuals (z = clip(Ax, l, u))
+        Ax_l = A_l @ x
+        z_c = jnp.clip(Ax_l, l_l, u_l)
+        pri = jax.lax.pmax(jnp.max(jnp.abs((Ax_l - z_c) / E_l)), ax)
+        Px = jax.lax.all_gather(P_l @ x, ax, tiled=True)
+        Aty = jax.lax.psum(A_l.T @ y_l, ax)
+        dua = jnp.max(jnp.abs((Px + q + Aty) * D / c))
+        pri_sc = jax.lax.pmax(
+            jnp.maximum(jnp.max(jnp.abs(Ax_l / E_l)),
+                        jnp.max(jnp.abs(z_c / E_l))), ax)
+        dua_sc = jnp.maximum(
+            jnp.maximum(jnp.max(jnp.abs(Px * D)), jnp.max(jnp.abs(Aty * D))),
+            jnp.max(jnp.abs(q * D)),
+        ) / c
+        return pri, dua, pri_sc, dua_sc
+
+    def one_iter(x, z_l, y_l, cg_tot, rho_fac):
+        rho_l = rho0_l * rho_fac
+        rhs = sigma * x - q + jax.lax.psum(
+            A_l.T @ (rho_l * z_l - y_l), ax)
+        xt, cg_it = cg(rhs, x, rho_l)
+        zt_l = A_l @ xt
+        x_new = alpha * xt + (1.0 - alpha) * x
+        z_rel = alpha * zt_l + (1.0 - alpha) * z_l
+        z_new = jnp.clip(z_rel + y_l / rho_l, l_l, u_l)
+        y_new = y_l + rho_l * (z_rel - z_new)
+        return x_new, z_new, y_new, cg_tot + cg_it
+
+    x = jnp.zeros(n, dt)
+    z_l = jnp.zeros_like(l_l)
+    y_l = jnp.zeros_like(l_l)
+
+    chunk = max(cfg.check_every, 1)
+    n_chunks = max(-(-cfg.max_iter // chunk), 1)
+
+    def run_chunk(x, z_l, y_l, cg_tot, rho_fac):
+        def body(carry, _):
+            x, z_l, y_l, cg_tot = carry
+            return one_iter(x, z_l, y_l, cg_tot, rho_fac), None
+
+        (x, z_l, y_l, cg_tot), _ = jax.lax.scan(
+            body, (x, z_l, y_l, cg_tot), None, length=chunk)
+        return x, z_l, y_l, cg_tot
+
+    def cond(st):
+        _, _, _, _, _, k, done, _, _, _ = st
+        return jnp.logical_and(jnp.logical_not(done), k < n_chunks)
+
+    def body(st):
+        x, z_l, y_l, cg_tot, rho_fac, k, done, iters, pri_o, dua_o = st
+        x, z_l, y_l, cg_tot = run_chunk(x, z_l, y_l, cg_tot, rho_fac)
+        pri, dua, pri_sc, dua_sc = residuals(x, y_l)
+        ok = (pri < cfg.eps_abs + cfg.eps_rel * pri_sc) & (
+            dua < cfg.eps_abs + cfg.eps_rel * dua_sc
+        )
+        newly = ok & jnp.logical_not(done)
+        iters = jnp.where(newly, (k + 1) * chunk, iters)
+        # OSQP adaptive rho (indirect mode makes it FREE: no refactorization
+        # — the next CG just sees a different operator). Adapt on the
+        # primal/dual residual ratio, OSQP's adaptive_rho_tolerance = 5.
+        ratio = jnp.sqrt(
+            (pri / jnp.maximum(pri_sc, 1e-30))
+            / jnp.maximum(dua / jnp.maximum(dua_sc, 1e-30), 1e-30)
+        )
+        scale = jnp.clip(ratio, 0.1, 10.0)
+        adapt = jnp.logical_not(ok) & ((scale > 5.0) | (scale < 0.2))
+        rho_fac = jnp.where(
+            adapt, jnp.clip(rho_fac * scale, 1e-6, 1e6), rho_fac)
+        return (x, z_l, y_l, cg_tot, rho_fac, k + 1, done | ok, iters,
+                pri, dua)
+
+    st0 = (x, z_l, y_l, jnp.int32(0), jnp.asarray(1.0, dt), jnp.int32(0),
+           jnp.asarray(False), jnp.int32(cfg.max_iter),
+           jnp.asarray(jnp.inf, dt), jnp.asarray(jnp.inf, dt))
+    x, z_l, y_l, cg_tot, _, _, done, iters, pri, dua = jax.lax.while_loop(
+        cond, body, st0
+    )
+
+    x_u = D * x
+    y_u = E_l * y_l / c
+    return x_u, y_u, pri, dua, done, iters, cg_tot
+
+
+def solve_sharded(
+    qp: QPData,
+    mesh: Mesh,
+    axis_name: str = BLOCK_AXIS,
+    cfg: Optional[ShardedSolverConfig] = None,
+) -> ShardedQPSolution:
+    """Solve ONE giant dense QP with its blocks sharded over ``mesh``.
+
+    ``mesh`` must be 1-D over ``axis_name``. P/A rows (and the constraint-
+    space vectors) are split across the axis; n and m are padded internally
+    to multiples of the mesh size. All matmuls run at HIGHEST precision for
+    the same conditioning reason as the dense solver.
+    """
+    if cfg is None:
+        cfg = ShardedSolverConfig()
+    p = mesh.devices.size
+    qp_pad, n, m = _pad_qp(qp, p)
+
+    shard_rows = NamedSharding(mesh, P(axis_name))
+    repl = NamedSharding(mesh, P())
+    P_s = jax.device_put(qp_pad.P, NamedSharding(mesh, P(axis_name, None)))
+    q_s = jax.device_put(qp_pad.q, repl)
+    A_s = jax.device_put(qp_pad.A, NamedSharding(mesh, P(axis_name, None)))
+    l_s = jax.device_put(qp_pad.l, shard_rows)
+    u_s = jax.device_put(qp_pad.u, shard_rows)
+
+    core = partial(_solve_core, cfg=cfg, ax=axis_name)
+    mapped = jax.shard_map(
+        core,
+        mesh=mesh,
+        in_specs=(P(axis_name, None), P(None), P(axis_name, None),
+                  P(axis_name), P(axis_name)),
+        out_specs=(P(), P(axis_name), P(), P(), P(), P(), P()),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def run(P_s, q_s, A_s, l_s, u_s):
+        with jax.default_matmul_precision("highest"):
+            return mapped(P_s, q_s, A_s, l_s, u_s)
+
+    x_u, y_u, pri, dua, solved, iters, cg_tot = run(P_s, q_s, A_s, l_s, u_s)
+    return ShardedQPSolution(
+        x=x_u[:n], y=y_u[:m], pri_res=pri, dua_res=dua,
+        solved=solved, iters=iters, cg_iters=cg_tot,
+    )
