@@ -49,6 +49,46 @@ def main():
         steps_ok = bool(jax.numpy.all(res.pid.steps == 120))
         print(f"RESULT pid={pid} mean_s={mean_s:.6f} steps_ok={steps_ok}",
               flush=True)
+    elif stage == "qp":
+        # ONE giant QP with its dense blocks row-sharded across BOTH
+        # processes (ops/qp_sharded.py): the all_gather/psum per operator
+        # application span the process boundary — the DCN analog of the
+        # ICI collectives on a real slice.
+        jax.config.update("jax_enable_x64", True)
+        import jax.numpy as jnp  # noqa: E402
+
+        from racinglmpc_tpu.ops import qp as qp_mod  # noqa: E402
+        from racinglmpc_tpu.ops import qp_sharded  # noqa: E402
+
+        rng = np.random.default_rng(0)
+        n, me, mi = 96, 16, 48
+        M = rng.normal(size=(n, n))
+        H = M.T @ M / n + 0.5 * np.eye(n)
+        q = rng.normal(size=n)
+        G = rng.normal(size=(me, n))
+        F = rng.normal(size=(mi, n))
+        z0 = rng.normal(size=n) * 0.3
+        g = G @ z0
+        b = F @ z0 + np.abs(rng.normal(size=mi)) + 0.05
+        A = np.vstack([F, G])
+        l = np.concatenate([np.full(mi, -np.inf), g])
+        u = np.concatenate([b, g])
+        qp = qp_mod.QPData(*(jnp.asarray(v) for v in (H, q, A, l, u)))
+
+        mesh = make_mesh(axis_name=qp_sharded.BLOCK_AXIS)
+        sol = qp_sharded.solve_sharded(
+            qp, mesh,
+            cfg=qp_sharded.ShardedSolverConfig(
+                max_iter=2000, eps_abs=1e-7, eps_rel=1e-7, cg_tol=1e-10),
+        )
+        # x / residuals / iters are replicated — addressable on every process
+        x = np.asarray(jax.device_get(sol.x))
+        print(
+            f"RESULT pid={pid} solved={bool(sol.solved)} "
+            f"iters={int(sol.iters)} cg={int(sol.cg_iters)} "
+            f"xsum={float(np.sum(x)):.12f} xmax={float(np.max(x)):.12f}",
+            flush=True,
+        )
     else:  # the full LMPC stage across processes (sharded safe sets,
         # DCN-spanning lap loop with host early exit + per-lap bookkeeping)
         from racinglmpc_tpu.utils.config import LMPCConfig, SolverConfig

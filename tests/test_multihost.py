@@ -79,6 +79,71 @@ def test_two_process_distributed_pid_stage():
 
 
 @pytest.mark.slow
+def test_two_process_sharded_giant_qp():
+    """ONE giant QP's dense blocks row-sharded across 2 processes
+    (ops/qp_sharded.py): the per-operator all_gather/psum cross the process
+    boundary. Both processes must converge, agree bit-for-bit on the
+    replicated solution summary, and match the interior-point oracle."""
+    port = _free_port()
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    env.pop("XLA_FLAGS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, str(port), str(pid), "2", "qp"],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
+        outs.append(out)
+
+    results = []
+    for out in outs:
+        m = re.search(
+            r"solved=(\w+) iters=(\d+) cg=(\d+) xsum=([-\d.]+) "
+            r"xmax=([-\d.]+)", out)
+        assert m, f"no RESULT line in: {out}"
+        assert m.group(1) == "True"
+        results.append(m.groups())
+    # replicated outputs must be identical across processes
+    assert results[0] == results[1]
+
+    # and the solution must match the float64 interior-point oracle
+    import numpy as np2
+
+    from tests.oracles import qp_ip
+
+    rng = np2.random.default_rng(0)
+    n, me, mi = 96, 16, 48
+    M = rng.normal(size=(n, n))
+    H = M.T @ M / n + 0.5 * np2.eye(n)
+    q = rng.normal(size=n)
+    G = rng.normal(size=(me, n))
+    F = rng.normal(size=(mi, n))
+    z0 = rng.normal(size=n) * 0.3
+    g = G @ z0
+    b = F @ z0 + np2.abs(rng.normal(size=mi)) + 0.05
+    z_ref, *_, ok = qp_ip.solve_qp(H, q, G, g, F, b)
+    assert ok
+    assert float(results[0][3]) == pytest.approx(float(np2.sum(z_ref)),
+                                                 abs=1e-3)
+    assert float(results[0][4]) == pytest.approx(float(np2.max(z_ref)),
+                                                 abs=1e-4)
+
+
+@pytest.mark.slow
 def test_two_process_distributed_lmpc_stage():
     """Full LMPC stage across 2 processes: sharded safe sets, DCN-spanning
     closed-loop lap scan, host early exit, and the per-lap bookkeeping
