@@ -23,8 +23,11 @@ the direct mode at n=200): the x-update system
 
     K xt = rhs,   K = P + sigma*I + A' diag(rho) A
 
-is solved by conjugate gradient, warm-started from the previous iterate.
-Each K@v costs three local GEMVs and exactly two collectives:
+is solved by Jacobi-preconditioned conjugate gradient (diag(K) assembled
+once with one psum'd column reduction; the constraint term scales linearly
+with the adapted rho so adaptation never re-reduces), warm-started from the
+previous iterate. Each K@v costs three local GEMVs and exactly two
+collectives:
 
     t1 = all_gather_p( P_blk @ v )            # row shards -> full (n,)
     t3 = psum_p( A_blk' (rho_blk * (A_blk @ v)) )   # partial sums -> (n,)
@@ -161,10 +164,12 @@ def _ruiz_sharded(P_l, q, A_l, l_l, u_l, iters: int, ax: str):
     )
 
 
-def _solve_core(P_l, q, A_l, l_l, u_l, cfg: ShardedSolverConfig, ax: str):
-    """Per-device body (inside shard_map). Replicated args: q."""
+def _solve_core(P_l, q, A_l, l_l, u_l, x_w, y_wl, cfg: ShardedSolverConfig,
+                ax: str):
+    """Per-device body (inside shard_map). Replicated args: q, x_w."""
     dt = P_l.dtype
     n = q.shape[0]
+    nl = P_l.shape[0]
 
     P_l, q, A_l, l_l, u_l, D, E_l, c = _ruiz_sharded(
         P_l, q, A_l, l_l, u_l, cfg.scaling_iters, ax
@@ -175,32 +180,44 @@ def _solve_core(P_l, q, A_l, l_l, u_l, cfg: ShardedSolverConfig, ax: str):
     sigma = jnp.asarray(cfg.sigma, dt)
     alpha = jnp.asarray(cfg.alpha, dt)
 
+    # Jacobi preconditioner pieces for the CG x-update: diag(K) =
+    # diag(P) + sigma + sum_i rho_i A_i,col^2. rho_l = rho0_l * rho_fac, so
+    # the constraint term scales LINEARLY with rho_fac — one psum'd column
+    # reduction up front covers every adapted rho.
+    row0 = jax.lax.axis_index(ax) * nl
+    diag_P = jax.lax.all_gather(
+        P_l[jnp.arange(nl), row0 + jnp.arange(nl)], ax, tiled=True)
+    colsum0 = jax.lax.psum(jnp.sum(rho0_l[:, None] * A_l * A_l, axis=0), ax)
+
     def apply_K(v, rho_l):
         t1 = jax.lax.all_gather(P_l @ v, ax, tiled=True)
         t3 = jax.lax.psum(A_l.T @ (rho_l * (A_l @ v)), ax)
         return t1 + sigma * v + t3
 
-    def cg(rhs, x0, rho_l):
-        """Warm-started CG on K x = rhs; all vectors replicated (n,)."""
+    def cg(rhs, x0, rho_l, rho_fac):
+        """Warm-started Jacobi-PCG on K x = rhs; vectors replicated (n,)."""
+        dK = jnp.maximum(diag_P + sigma + rho_fac * colsum0, 1e-12)
         r0 = rhs - apply_K(x0, rho_l)
+        z0 = r0 / dK
         tol2 = (cfg.cg_tol ** 2) * jnp.maximum(rhs @ rhs, 1e-30)
 
         def cond(st):
-            _, _, _, rs, it = st
-            return jnp.logical_and(rs > tol2, it < cfg.cg_max_iter)
+            _, r, _, _, it = st
+            return jnp.logical_and(r @ r > tol2, it < cfg.cg_max_iter)
 
         def body(st):
-            x, r, pvec, rs, it = st
+            x, r, pvec, rz, it = st
             Kp = apply_K(pvec, rho_l)
-            a = rs / jnp.maximum(pvec @ Kp, 1e-30)
+            a = rz / jnp.maximum(pvec @ Kp, 1e-30)
             x = x + a * pvec
             r = r - a * Kp
-            rs_new = r @ r
-            pvec = r + (rs_new / jnp.maximum(rs, 1e-30)) * pvec
-            return (x, r, pvec, rs_new, it + 1)
+            z = r / dK
+            rz_new = r @ z
+            pvec = z + (rz_new / jnp.maximum(rz, 1e-30)) * pvec
+            return (x, r, pvec, rz_new, it + 1)
 
         x, _, _, _, it = jax.lax.while_loop(
-            cond, body, (x0, r0, r0, r0 @ r0, jnp.int32(0))
+            cond, body, (x0, r0, z0, r0 @ z0, jnp.int32(0))
         )
         return x, it
 
@@ -225,7 +242,7 @@ def _solve_core(P_l, q, A_l, l_l, u_l, cfg: ShardedSolverConfig, ax: str):
         rho_l = rho0_l * rho_fac
         rhs = sigma * x - q + jax.lax.psum(
             A_l.T @ (rho_l * z_l - y_l), ax)
-        xt, cg_it = cg(rhs, x, rho_l)
+        xt, cg_it = cg(rhs, x, rho_l, rho_fac)
         zt_l = A_l @ xt
         x_new = alpha * xt + (1.0 - alpha) * x
         z_rel = alpha * zt_l + (1.0 - alpha) * z_l
@@ -233,9 +250,13 @@ def _solve_core(P_l, q, A_l, l_l, u_l, cfg: ShardedSolverConfig, ax: str):
         y_new = y_l + rho_l * (z_rel - z_new)
         return x_new, z_new, y_new, cg_tot + cg_it
 
-    x = jnp.zeros(n, dt)
-    z_l = jnp.zeros_like(l_l)
-    y_l = jnp.zeros_like(l_l)
+    # warm start (previous solve of a nearby problem), scaled like the dense
+    # solver: x = D x_s, y = E y_s / c; non-finite warm values fall back to 0
+    fin = jnp.all(jnp.isfinite(x_w)) & jax.lax.pmin(
+        jnp.all(jnp.isfinite(y_wl)).astype(jnp.int32), ax).astype(bool)
+    x = jnp.where(fin, x_w.astype(dt) / D, jnp.zeros(n, dt))
+    y_l = jnp.where(fin, c * y_wl.astype(dt) / E_l, jnp.zeros_like(l_l))
+    z_l = jnp.clip(A_l @ x, l_l, u_l)
 
     chunk = max(cfg.check_every, 1)
     n_chunks = max(-(-cfg.max_iter // chunk), 1)
@@ -293,6 +314,7 @@ def solve_sharded(
     mesh: Mesh,
     axis_name: str = BLOCK_AXIS,
     cfg: Optional[ShardedSolverConfig] = None,
+    warm: Optional[tuple] = None,
 ) -> ShardedQPSolution:
     """Solve ONE giant dense QP with its blocks sharded over ``mesh``.
 
@@ -300,11 +322,24 @@ def solve_sharded(
     space vectors) are split across the axis; n and m are padded internally
     to multiples of the mesh size. All matmuls run at HIGHEST precision for
     the same conditioning reason as the dense solver.
+
+    ``warm``: optional ``(x, y)`` primal/dual start in original (unscaled)
+    coordinates — e.g. the previous solve of a slowly-drifting problem.
     """
     if cfg is None:
         cfg = ShardedSolverConfig()
     p = mesh.devices.size
     qp_pad, n, m = _pad_qp(qp, p)
+    dt = qp_pad.P.dtype
+
+    if warm is not None:
+        x_w = jnp.zeros(qp_pad.q.shape[0], dt).at[:n].set(
+            warm[0].astype(dt))
+        y_w = jnp.zeros(qp_pad.l.shape[0], dt).at[:m].set(
+            warm[1].astype(dt))
+    else:
+        x_w = jnp.zeros(qp_pad.q.shape[0], dt)
+        y_w = jnp.zeros(qp_pad.l.shape[0], dt)
 
     shard_rows = NamedSharding(mesh, P(axis_name))
     repl = NamedSharding(mesh, P())
@@ -313,23 +348,26 @@ def solve_sharded(
     A_s = jax.device_put(qp_pad.A, NamedSharding(mesh, P(axis_name, None)))
     l_s = jax.device_put(qp_pad.l, shard_rows)
     u_s = jax.device_put(qp_pad.u, shard_rows)
+    xw_s = jax.device_put(x_w, repl)
+    yw_s = jax.device_put(y_w, shard_rows)
 
     core = partial(_solve_core, cfg=cfg, ax=axis_name)
     mapped = jax.shard_map(
         core,
         mesh=mesh,
         in_specs=(P(axis_name, None), P(None), P(axis_name, None),
-                  P(axis_name), P(axis_name)),
+                  P(axis_name), P(axis_name), P(None), P(axis_name)),
         out_specs=(P(), P(axis_name), P(), P(), P(), P(), P()),
         check_vma=False,
     )
 
     @jax.jit
-    def run(P_s, q_s, A_s, l_s, u_s):
+    def run(P_s, q_s, A_s, l_s, u_s, xw_s, yw_s):
         with jax.default_matmul_precision("highest"):
-            return mapped(P_s, q_s, A_s, l_s, u_s)
+            return mapped(P_s, q_s, A_s, l_s, u_s, xw_s, yw_s)
 
-    x_u, y_u, pri, dua, solved, iters, cg_tot = run(P_s, q_s, A_s, l_s, u_s)
+    x_u, y_u, pri, dua, solved, iters, cg_tot = run(
+        P_s, q_s, A_s, l_s, u_s, xw_s, yw_s)
     return ShardedQPSolution(
         x=x_u[:n], y=y_u[:m], pri_res=pri, dua_res=dua,
         solved=solved, iters=iters, cg_iters=cg_tot,

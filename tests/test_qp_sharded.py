@@ -100,6 +100,25 @@ def test_sharded_padding_path():
     np.testing.assert_allclose(np.asarray(sol.x), z_ref, atol=5e-5)
 
 
+def test_sharded_warm_start():
+    """Warm-starting from a previous solution converges in far fewer ADMM
+    iterations — the repeated-solve (drifting-problem) use case."""
+    rng = np.random.default_rng(5)
+    H, q, G, g, F, b = _random_qp(rng)
+    qp = _osqp_form(H, q, G, g, F, b)
+    cfg = qp_sharded.ShardedSolverConfig(
+        max_iter=2000, eps_abs=1e-7, eps_rel=1e-7, cg_tol=1e-10)
+
+    cold = qp_sharded.solve_sharded(qp, _block_mesh(), cfg=cfg)
+    assert bool(cold.solved)
+    warm = qp_sharded.solve_sharded(
+        qp, _block_mesh(), cfg=cfg, warm=(cold.x, cold.y))
+    assert bool(warm.solved)
+    assert int(warm.iters) <= int(cold.iters) // 2
+    np.testing.assert_allclose(np.asarray(warm.x), np.asarray(cold.x),
+                               atol=1e-5)
+
+
 def test_sharded_blocks_actually_sharded():
     """The operator blocks live sharded: each device holds n/p rows, so
     per-chip memory scales down with the mesh — the point of the module."""
