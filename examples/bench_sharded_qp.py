@@ -57,7 +57,7 @@ from racinglmpc_tpu.parallel import make_mesh  # noqa: E402
 
 def _make_giant_qp(key, n: int, me: int, mi: int, dt=jnp.float32):
     """Strongly-convex synthetic QP, built on device."""
-    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
     M = jax.random.normal(k1, (n, n), dt)
     P = M.T @ M / n + 0.5 * jnp.eye(n, dtype=dt)
     q = jax.random.normal(k2, (n,), dt)
@@ -65,7 +65,7 @@ def _make_giant_qp(key, n: int, me: int, mi: int, dt=jnp.float32):
     F = jax.random.normal(k4, (mi, n), dt)
     z0 = jax.random.normal(k5, (n,), dt) * 0.3
     g = G @ z0
-    b = F @ z0 + jnp.abs(jax.random.normal(k2, (mi,), dt)) + 0.05
+    b = F @ z0 + jnp.abs(jax.random.normal(k6, (mi,), dt)) + 0.05
     A = jnp.concatenate([F, G], axis=0)
     inf = jnp.asarray(jnp.inf, dt)
     l = jnp.concatenate([jnp.full((mi,), -inf), g])

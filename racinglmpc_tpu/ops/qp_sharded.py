@@ -259,7 +259,10 @@ def _solve_core(P_l, q, A_l, l_l, u_l, x_w, y_wl, cfg: ShardedSolverConfig,
     z_l = jnp.clip(A_l @ x, l_l, u_l)
 
     chunk = max(cfg.check_every, 1)
-    n_chunks = max(-(-cfg.max_iter // chunk), 1)
+    # floor like the dense solver (ops/qp.py) so the configured iteration
+    # budget is honored exactly: max_iter % chunk trailing iterations are
+    # dropped rather than overrun, and reported iters never exceed max_iter
+    n_chunks = max(cfg.max_iter // chunk, 1)
 
     def run_chunk(x, z_l, y_l, cg_tot, rho_fac):
         def body(carry, _):
@@ -328,6 +331,11 @@ def solve_sharded(
     """
     if cfg is None:
         cfg = ShardedSolverConfig()
+    if mesh.axis_names != (axis_name,):
+        raise ValueError(
+            f"solve_sharded requires a 1-D mesh over {axis_name!r}; got "
+            f"axis_names={mesh.axis_names!r}"
+        )
     p = mesh.devices.size
     qp_pad, n, m = _pad_qp(qp, p)
     dt = qp_pad.P.dtype
