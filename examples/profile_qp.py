@@ -237,17 +237,24 @@ def main():
             lambda p, r: qp_mod._build_K(p, r, scfg.sigma)))(qp_s, rho)
         ns_tol = scfg.ns_tol if scfg.ns_tol is not None else 1e-3
 
-        def s_ns(eps, K, fac):
-            return jax.vmap(
-                lambda k, f: qp_mod._ns_inverse(
-                    k + eps, f.kinv, f.valid, ns_tol, scfg.ns_max_iters)
-            )(K, fac)
+        def _warm_kinv(f, d_new):
+            # mirror _solve_impl's scaling-delta transform of the warm start
+            ratio = f.D / jnp.where(d_new > 0, d_new, 1.0)
+            return f.kinv * ratio[:, None] * ratio[None, :]
 
-        results["ns_warm"] = time_stage("ns_warm", s_ns, R, K, fac)
+        def s_ns(eps, K, fac, D):
+            return jax.vmap(
+                lambda k, f, d: qp_mod._ns_inverse(
+                    k + eps, _warm_kinv(f, d), f.valid, ns_tol,
+                    scfg.ns_max_iters)
+            )(K, fac, D)
+
+        results["ns_warm"] = time_stage("ns_warm", s_ns, R, K, fac, D)
 
         Kinv, _ = jax.jit(jax.vmap(
-            lambda k, f: qp_mod._ns_inverse(k, f.kinv, f.valid, ns_tol,
-                                            scfg.ns_max_iters)))(K, fac)
+            lambda k, f, d: qp_mod._ns_inverse(
+                k, _warm_kinv(f, d), f.valid, ns_tol,
+                scfg.ns_max_iters)))(K, fac, D)
 
         # --- stage: the Pallas kernel with the step's true warm start -------
         from racinglmpc_tpu.ops import pallas_qp
@@ -339,11 +346,21 @@ def main():
 
         # per-lane NS warm-refresh iteration counts (the XLA path pays the
         # MAX over the batch in lockstep; the fused kernel pays per lane)
-        def ns_iters_one(k, f):
+        def ns_iters_one(k, f, d_new):
             I = jnp.eye(n, dtype=jnp.float32)
-            R0 = I - k @ f.kinv
-            r0 = jnp.sqrt(jnp.sum(R0 * R0))
-            warm = f.valid & jnp.isfinite(r0) & (r0 < 0.9)
+            kinv_w = _warm_kinv(f, d_new)
+            R0 = I - k @ kinv_w
+            # mirror _ns_inverse's power-iteration spectral gate
+            def _pow(c, _):
+                v, _ = c
+                w = R0 @ v
+                nrm = jnp.sqrt(jnp.sum(w * w))
+                return (w / jnp.maximum(nrm, 1e-30), nrm), None
+
+            v0 = jnp.full((n,), 1.0 / jnp.sqrt(jnp.float32(n)), jnp.float32)
+            (_, rho_est), _ = jax.lax.scan(
+                _pow, (v0, jnp.float32(0.0)), None, length=12)
+            warm = f.valid & jnp.isfinite(rho_est) & (rho_est < 0.9)
 
             def cond(st):
                 _, r, it = st
@@ -357,17 +374,17 @@ def main():
             d0 = 1.0 / jnp.clip(jnp.diagonal(k), 1e-12, None)
             cj = jnp.sqrt(jnp.sum((I - k * d0[None, :]) ** 2))
             Xj = (I * d0[None, :]) / jnp.maximum(cj, 1.0)
-            X0 = jnp.where(warm, f.kinv, Xj)
+            X0 = jnp.where(warm, kinv_w, Xj)
             _, _, it = jax.lax.while_loop(
                 cond, body, (X0, jnp.asarray(jnp.inf, jnp.float32),
                              jnp.int32(0)))
             return it, warm
 
-        ns_it, ns_warm_used = jax.jit(jax.vmap(ns_iters_one))(K, fac)
+        ns_it, ns_warm_used = jax.jit(jax.vmap(ns_iters_one))(K, fac, D)
         ns_it = np.asarray(ns_it)
 
         # kernel iteration stats on this exact workload
-        _, _, _, _, it_k, ok_k = jax.jit(
+        _, _, _, _, it_k, ok_k, _resc = jax.jit(
             lambda *a: s_kernel(jnp.float32(0.0), *a)
         )(qp_s, Kinv, rho, D, E, c, warm)
         it_np = np.asarray(it_k)

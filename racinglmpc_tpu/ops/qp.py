@@ -180,7 +180,8 @@ def _build_K(qp: QPData, rho, sigma):
     return P + sigma * jnp.eye(n, dtype=P.dtype) + (A.T * rho) @ A
 
 
-def _ns_inverse(K, X0, warm_ok, tol: float, max_iters: int):
+def _ns_inverse(K, X0, warm_ok, tol: float, max_iters: int,
+                staged: bool = False):
     """Newton–Schulz matrix inverse: X <- X(2I - KX), matmul-only (MXU).
 
     Starts from ``X0`` (previous step's inverse) when it is contracting —
@@ -205,30 +206,76 @@ def _ns_inverse(K, X0, warm_ok, tol: float, max_iters: int):
     Xj = (I * d[None, :]) / jnp.maximum(cj, 1.0)
 
     R0 = I - K @ X0
-    r0_f = jnp.sqrt(jnp.sum(R0 * R0))
-    use_warm = warm_ok & jnp.isfinite(r0_f) & (r0_f < 0.9)
-    X_init = jnp.where(use_warm, X0, Xj)
+    r0_m = jnp.max(jnp.abs(R0))
+    # Warm-start gate: NS from X0 converges iff the SPECTRAL radius of R0 is
+    # < 1 (the residual matrix squares exactly each iteration). The round-1
+    # Frobenius gate ||R0||_F < 0.9 overestimates the spectral radius by up
+    # to sqrt(rank): measured on the drifting FTOCP K it rejected EVERY warm
+    # start (r0_F ~ 0.94 at rho(R0) ~ 0.05), silently degrading the refresh
+    # to a ~21-iteration cold Jacobi build per step — 14.4 ms of the 35 ms
+    # batch-256 solve. A handful of power iterations on R0 (matvecs, ~free
+    # next to one GEMM) estimates the spectral radius instead; forced-warm
+    # NS then converges in ~3 iterations at realistic drift.
+    def _pow(c, _):
+        v, _ = c
+        w = R0 @ v
+        nrm = jnp.sqrt(jnp.sum(w * w))
+        return (w / jnp.maximum(nrm, 1e-30), nrm), None
 
-    def run(X):
+    v0 = jnp.full((n,), 1.0 / jnp.sqrt(jnp.asarray(n, dt)), dt)
+    (_, rho_est), _ = jax.lax.scan(_pow, (v0, jnp.asarray(0.0, dt)), None,
+                                   length=12)
+    use_warm = warm_ok & jnp.isfinite(rho_est) & (rho_est < 0.9) \
+        & jnp.isfinite(r0_m)
+    X_init = jnp.where(use_warm, X0, Xj)
+    # seed the loop with the guard's residual: a warm start that is STILL
+    # within tolerance (slow problem drift) exits with zero iterations —
+    # the whole refresh is then the one guard GEMM. Cold lanes seed with a
+    # large FINITE value (inf would trip the divergence exit below).
+    r_init = jnp.where(use_warm, r0_m, jnp.asarray(1e5, dt))
+
+    def run_phase(X, r_in, prec, level):
         def cond(st):
             _, r, it = st
-            return jnp.logical_and(r > tol, it < max_iters)
+            # r < 1e6: a mis-gated diverging warm start squares its residual
+            # every iteration — exit within a few steps and let the restart
+            # pass rebuild from the Jacobi init instead of running to
+            # max_iters on exploding values
+            return jnp.logical_and(jnp.logical_and(r > level, r < 1e6),
+                                   it < max_iters)
 
         def body(st):
             X, _, it = st
-            R = I - K @ X
-            return X + X @ R, jnp.max(jnp.abs(R)), it + 1
+            R = I - jnp.matmul(K, X, precision=prec)
+            return (X + jnp.matmul(X, R, precision=prec),
+                    jnp.max(jnp.abs(R)), it + 1)
 
-        X, r, _ = jax.lax.while_loop(
-            cond, body, (X, jnp.asarray(jnp.inf, dt), jnp.int32(0))
-        )
+        X, r, _ = jax.lax.while_loop(cond, body, (X, r_in, jnp.int32(0)))
         # r is the residual BEFORE the final (squaring) update — a
         # conservative overestimate; reusing it saves a GEMM per pass.
         return X, r
 
-    X, resid = run(X_init)
+    def run(X, r_in):
+        """Staged-precision cold build (see SolverConfig.ns_staged_precision):
+        the early iterations only contract an O(1) residual — bf16-pass
+        rounding is irrelevant there — so they run at DEFAULT then HIGH,
+        with the final iterations at HIGHEST restoring the tolerance.
+        (Measured 12.0 -> 6.8 ms for the batch-256 cold build; on CPU the
+        precision arguments are no-ops and the staging is harmless.)"""
+        P = jax.lax.Precision
+        if staged:
+            X, r_in = run_phase(X, r_in, P.DEFAULT, max(0.3, tol))
+            X, r_in = run_phase(X, r_in, P.HIGH, max(3e-2, tol))
+        return run_phase(X, r_in, P.HIGHEST, tol)
+
+    X, resid = run(X_init, r_init)
     bad = jnp.logical_not(jnp.isfinite(resid)) | (resid > 50 * tol)
-    X2, resid2 = run(jnp.where(bad, Xj, X))   # free when the first pass held
+    # restart pass: seeding with pass 1's exit residual makes it 0 iterations
+    # (not the former mandatory one) whenever pass 1 already converged
+    X2, resid2 = run(
+        jnp.where(bad, Xj, X),
+        jnp.where(bad, jnp.asarray(1e5, dt), resid),
+    )
     return X2, resid2
 
 
@@ -388,7 +435,17 @@ def _solve_impl(qp, cfg, warm, fac):
         1e-3 if dt == jnp.float32 else 1e-9
     )
     if fac is not None:
-        kinv0 = fac.kinv.astype(dt)
+        # The cached kinv approximates the inverse of the PREVIOUS step's
+        # scaled K. The Ruiz refinement changes the scaling every step, which
+        # perturbs K_s multiplicatively: K_new ~= t K_old t with
+        # t = D_new/D_old elementwise (exact for the column scaling of both
+        # the P and A'rhoA terms; the row scaling E and cost scaling c drifts
+        # are left for Newton-Schulz to absorb). Transforming the warm start
+        # by t^-1 on both sides tracks that drift for O(n^2) elementwise work
+        # (no GEMM) and cuts the lockstep NS iteration count
+        # (examples/profile_qp.py measures the ns_warm stage).
+        ratio = fac.D.astype(dt) / jnp.where(D > 0, D, 1.0)
+        kinv0 = fac.kinv.astype(dt) * ratio[:, None] * ratio[None, :]
         warm_ok = fac.valid
         age = fac.age
     else:
@@ -442,7 +499,9 @@ def _solve_impl(qp, cfg, warm, fac):
     warmup = min(cfg.warmup_iters, total)
     rho = rho0
     K1 = _build_K(qp_s, rho, sigma)
-    Kinv1, ns_resid1 = _ns_inverse(K1, kinv0, warm_ok, ns_tol, cfg.ns_max_iters)
+    Kinv1, ns_resid1 = _ns_inverse(K1, kinv0, warm_ok, ns_tol,
+                                   cfg.ns_max_iters,
+                                   staged=cfg.ns_staged_precision)
 
     # --- Pallas fast path: fixed rho, whole iteration loop in one kernel ---
     if use_pallas:
@@ -500,7 +559,8 @@ def _solve_impl(qp, cfg, warm, fac):
     # time tracks the slowest scenario instead of always paying max_iter.
     K2 = _build_K(qp_s, rho, sigma)
     Kinv2, ns_resid = _ns_inverse(
-        K2, Kinv1, jnp.asarray(True), ns_tol, cfg.ns_max_iters
+        K2, Kinv1, jnp.asarray(True), ns_tol, cfg.ns_max_iters,
+        staged=cfg.ns_staged_precision,
     )
     chunk = max(cfg.check_every, 1)
     n_chunks = max((total - warmup) // chunk, 0)
@@ -548,7 +608,8 @@ def _solve_impl(qp, cfg, warm, fac):
         rho_r = rho * s_r
         K3 = _build_K(qp_s, rho_r, sigma)
         Kinv3, _ = _ns_inverse(
-            K3, Kinv2 / s_r, jnp.asarray(True), ns_tol, cfg.ns_max_iters
+            K3, Kinv2 / s_r, jnp.asarray(True), ns_tol, cfg.ns_max_iters,
+            staged=cfg.ns_staged_precision,
         )
         one_iter_r = _make_admm_iter(
             qp_s, Kinv3, rho_r, sigma, alpha, cfg.kkt_refine_steps

@@ -232,6 +232,23 @@ class SolverConfig:
     # iteration cap (cold build needs ~25-30; warm refresh ~1-5)
     ns_tol: "float | None" = None
     ns_max_iters: int = 40
+    # staged-precision Newton-Schulz: run the early cold-build iterations at
+    # DEFAULT (1-pass bf16) then HIGH (3-pass) matmul precision, finishing
+    # at HIGHEST. MEASURED NEGATIVE on the product FTOCP and kept only as a
+    # recorded experiment (default OFF): on a synthetic cond~1e4 K it cuts
+    # the batch-256 cold build 12.0 -> 6.8 ms, but the real scaled FTOCP K
+    # has cond ~ 1e6, so ||Kinv|| ~ 1e5-1e6 and the low-precision product
+    # noise (~eps_prec * ||K|| * ||X||) exceeds the O(1) residual the early
+    # phase must contract — the DEFAULT phase diverges, every solve runs to
+    # max_iter and is rejected (sweep_solver round 5: 1392 solves/s, 25600
+    # rejects, vs 6680 healthy). Related negative, same root cause: warm-
+    # starting NS from the previous step's kinv NEVER contracts on the real
+    # workload — rho(I - K_new Kinv_old) ~ ||dK|| * ||Kinv|| >> 1 for any
+    # real per-step drift at this conditioning (the round-3/4 "warm NS is
+    # 1-3 iterations" claim was a misread; the spectral gate in
+    # ops/qp._ns_inverse now measures contraction per solve and the cold
+    # build is the every-step reality).
+    ns_staged_precision: bool = False
     # VMEM-resident Pallas ADMM kernel (ops/pallas_qp.py): engaged when the
     # dtype is float32, rho is fixed (adaptive_rho=False) and the backend is
     # TPU; pallas_interpret forces interpreter mode (CPU tests)
