@@ -35,6 +35,7 @@ import jax.numpy as jnp
 
 from racinglmpc_tpu.controllers import ocp
 from racinglmpc_tpu.models import sysid, track as track_mod
+from racinglmpc_tpu.ops import kkt_band
 from racinglmpc_tpu.ops import qp as qp_mod
 from racinglmpc_tpu.utils.config import LMPCConfig, SolverConfig
 
@@ -468,7 +469,8 @@ def make_lmpc(
             ss_points=ss_pts, qfun_sel=qfun_sel,
         )
         sol = qp_mod.solve(
-            qp, solver_cfg, warm=(state.warm_x, state.warm_y), fac=state.fac
+            qp, solver_cfg, warm=(state.warm_x, state.warm_y), fac=state.fac,
+            structure=kkt_band.band_structure(dims.N, dims.K),
         )
         x_pred, u_pred, _, lam, _ = ocp.unpack(dims, sol.x)
         # QP divergence is a data path (SURVEY §5.3): accept only finite

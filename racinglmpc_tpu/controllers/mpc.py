@@ -26,6 +26,7 @@ import jax.numpy as jnp
 
 from racinglmpc_tpu.controllers import ocp
 from racinglmpc_tpu.models import sysid, track as track_mod
+from racinglmpc_tpu.ops import kkt_band
 from racinglmpc_tpu.ops import qp as qp_mod
 from racinglmpc_tpu.utils.config import LMPCConfig, MPCConfig, SolverConfig
 
@@ -78,7 +79,8 @@ def _solve_and_unpack(dims, tmpl, dyn, x0, state: MPCState, cfg: MPCConfig,
                       solver_cfg: SolverConfig):
     qp = ocp.assemble_qp(dims, tmpl, dyn, x0, state.u_old, cfg.dR)
     sol = qp_mod.solve(
-        qp, solver_cfg, warm=(state.warm_x, state.warm_y), fac=state.fac
+        qp, solver_cfg, warm=(state.warm_x, state.warm_y), fac=state.fac,
+        structure=kkt_band.band_structure(dims.N, dims.K),
     )
     x_pred, u_pred, _, _, _ = ocp.unpack(dims, sol.x)
     # infeasibility/divergence is a data path (SURVEY §5.3): accept only

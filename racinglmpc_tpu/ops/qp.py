@@ -31,6 +31,7 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
+from racinglmpc_tpu.ops import kkt_band
 from racinglmpc_tpu.utils.config import SolverConfig
 
 
@@ -366,6 +367,7 @@ def solve(
     cfg: SolverConfig = SolverConfig(),
     warm: "Optional[tuple]" = None,
     fac: "Optional[FactorCache]" = None,
+    structure: "Optional[kkt_band.BandStructure]" = None,
 ) -> QPSolution:
     """Solve one QP (vmap for a batch). Pure function of the inputs.
 
@@ -373,16 +375,21 @@ def solve(
     (unscaled) coordinates — e.g. the previous control step's solution.
     ``fac``: optional :class:`FactorCache` from the previous solve of a
     slowly-drifting problem; enables warm Newton–Schulz refactorization.
+    ``structure``: optional static stage structure of an FTOCP KKT
+    (``kkt_band.band_structure``); when given (and ``cfg.kkt_structured``),
+    the per-step KKT inverse is built by the exact block-tridiagonal
+    factorization instead of the cold Newton–Schulz iteration — the NS
+    guard still verifies the result and provides the fallback.
 
     All matmuls run at ``highest`` precision: on TPU the f32 default lowers
     to bfloat16 passes, which destroys the ~1e6-conditioned KKT solves (the
     MXU still runs these shapes at full speed via 3-pass f32).
     """
     with jax.default_matmul_precision("highest"):
-        return _solve_impl(qp, cfg, warm, fac)
+        return _solve_impl(qp, cfg, warm, fac, structure)
 
 
-def _solve_impl(qp, cfg, warm, fac):
+def _solve_impl(qp, cfg, warm, fac, structure=None):
     dt = qp.P.dtype
     orig = qp
     n, m = qp.P.shape[0], qp.A.shape[0]
@@ -499,9 +506,31 @@ def _solve_impl(qp, cfg, warm, fac):
     warmup = min(cfg.warmup_iters, total)
     rho = rho0
     K1 = _build_K(qp_s, rho, sigma)
-    Kinv1, ns_resid1 = _ns_inverse(K1, kinv0, warm_ok, ns_tol,
-                                   cfg.ns_max_iters,
-                                   staged=cfg.ns_staged_precision)
+    if structure is not None and cfg.kkt_structured:
+        # exact block-tridiagonal inverse (O(N b^2 n), no cond dependence),
+        # then a FIXED two-iteration NS polish. The polish count must be
+        # static, not a tolerance loop: the raw structured residual
+        # (~1e-3 f32) sits exactly at ns_tol but the Pallas kernel's
+        # iteration tail needs the NS fixed-point floor (~3-5e-4 — measured:
+        # residual 9.8e-4 left 9.4% of lanes unconverged at 300 iterations,
+        # floor-level residual matches the NS-cold path's p99 of 47
+        # exactly), and that floor is BELOW any tolerance an f32 NS loop
+        # can test for — a while_loop at 1e-4 burns all ns_max_iters
+        # chasing it (measured: +9 ms). Two squarings from ~1e-3 reach the
+        # floor deterministically; _ns_inverse then verifies (0 iterations)
+        # and keeps the Jacobi cold-build fallback if a degenerate problem
+        # ever breaks a block inversion.
+        X_st = kkt_band.structured_kinv(K1, structure)
+        I_n = jnp.eye(n, dtype=dt)
+        for _ in range(2):
+            X_st = X_st + X_st @ (I_n - K1 @ X_st)
+        Kinv1, ns_resid1 = _ns_inverse(K1, X_st, jnp.asarray(True), ns_tol,
+                                       cfg.ns_max_iters,
+                                       staged=cfg.ns_staged_precision)
+    else:
+        Kinv1, ns_resid1 = _ns_inverse(K1, kinv0, warm_ok, ns_tol,
+                                       cfg.ns_max_iters,
+                                       staged=cfg.ns_staged_precision)
 
     # --- Pallas fast path: fixed rho, whole iteration loop in one kernel ---
     if use_pallas:

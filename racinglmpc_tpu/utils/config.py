@@ -249,6 +249,13 @@ class SolverConfig:
     # ops/qp._ns_inverse now measures contraction per solve and the cold
     # build is the every-step reality).
     ns_staged_precision: bool = False
+    # exact block-tridiagonal KKT inverse (ops/kkt_band.py): when the caller
+    # provides the FTOCP stage structure, the per-step Kinv build uses the
+    # O(N b^2 n) structured factorization (GEMM-only, no conditioning
+    # dependence) instead of the ~21-iteration cold Newton-Schulz build
+    # (measured 14.2 -> ~7.5 ms at batch 256 on the real workload); the NS
+    # guard still verifies the result and provides the fallback
+    kkt_structured: bool = True
     # VMEM-resident Pallas ADMM kernel (ops/pallas_qp.py): engaged when the
     # dtype is float32, rho is fixed (adaptive_rho=False) and the backend is
     # TPU; pallas_interpret forces interpreter mode (CPU tests)

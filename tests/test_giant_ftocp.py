@@ -1,0 +1,123 @@
+"""Giant-horizon FTOCP (real ocp.py assembly) through the sharded solver.
+
+VERDICT round-4 item 3: the sharded giant-QP path must solve an actual
+assembled LMPC FTOCP — block-tridiagonal dynamics equalities, tridiagonal
+input-rate cost, lane/input/slack inequalities and the terminal safe-set
+block (reference structure PredictiveControllers.py:200-257, :345-362) —
+not just random dense matrices. The problem here is built by
+``controllers/giant_ftocp.assemble_giant_ftocp`` from a real PID lap with
+the framework's own sys-ID linearization, then solved on the 8-device CPU
+mesh and checked against the float64 interior-point oracle.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from racinglmpc_tpu.controllers import giant_ftocp
+from racinglmpc_tpu.models import track as track_mod
+from racinglmpc_tpu.ops import qp_sharded
+from racinglmpc_tpu.parallel import make_mesh
+from racinglmpc_tpu.utils.config import LMPCConfig
+
+from tests.oracles import qp_ip, ref_plant
+
+X0 = np.array([0.5, 0, 0, 0, 0, 0.0])
+
+
+def _pid_lap(trk):
+    """Deterministic reference-semantics PID lap (NumPy, noise off)."""
+    curv = ref_plant.np_curvature_fn(trk)
+    L = float(trk.total_len)
+    x, g = X0.copy(), X0.copy()
+    xs, us = [], []
+    for _ in range(420):
+        u = np.array([-0.6 * x[5] - 0.9 * x[3], 1.5 * (0.8 - x[0])])
+        xs.append(x.copy())
+        us.append(u.copy())
+        x, g = ref_plant.plant_step(x, g, u, curv)
+        if x[4] > L:
+            break
+    return np.asarray(xs), np.asarray(us)
+
+
+def _assemble(N, K, dtype):
+    trk = track_mod.make_track(dtype=jnp.float64)
+    xs, us = _pid_lap(trk)
+    giant = giant_ftocp.assemble_giant_ftocp(
+        trk, jnp.asarray(xs), jnp.asarray(us), len(xs),
+        N=N, K=K, cfg=LMPCConfig(), dtype=dtype,
+    )
+    return giant
+
+
+def test_giant_ftocp_structure():
+    """Assembly sanity: shapes follow the canonical layout; the equality
+    block contains the dynamics chain and the safe-set terminal rows."""
+    g = _assemble(N=40, K=48, dtype=jnp.float64)
+    d = g.dims
+    assert d.nz == 6 * 41 + 2 * 40 + 2 * 40 + 48 + 6
+    qp = g.qp
+    assert qp.P.shape == (d.nz, d.nz)
+    assert qp.A.shape == (d.mi + d.me, d.nz)
+    # equality rows have l == u
+    eq = np.isfinite(np.asarray(qp.l)) & (
+        np.asarray(qp.u) - np.asarray(qp.l) < 1e-12)
+    assert eq.sum() == d.me
+    # terminal SS block: the lambda columns of the terminal rows carry the
+    # (negated) selected safe-set states
+    A = np.asarray(qp.A)
+    tr = d.mi + d.nx_tot
+    ss_blk = A[tr:tr + 6, d.off_lambda:d.off_lambda + d.K]
+    np.testing.assert_allclose(ss_blk, -np.asarray(g.ss_points), atol=1e-12)
+    # dynamics blocks: -A_i in the stage-i equality rows
+    assert np.abs(A[d.mi + 6:d.mi + 12, :6]).max() > 0
+
+
+def test_giant_ftocp_sharded_vs_oracle():
+    """N=40 (z in R^374) assembled FTOCP: sharded solve matches the IP
+    oracle. Sizes chosen so the f64 oracle is tractable in CI."""
+    g = _assemble(N=40, K=48, dtype=jnp.float64)
+    qp = g.qp
+    d = g.dims
+
+    # oracle form: split eq/ineq back out
+    H = np.asarray(qp.P)
+    q = np.asarray(qp.q)
+    A = np.asarray(qp.A)
+    l = np.asarray(qp.l)
+    u = np.asarray(qp.u)
+    eq = np.isfinite(l) & (u - l < 1e-12)
+    G, gvec = A[eq], u[eq]
+    F, b = A[~eq], u[~eq]
+    z_ref, *_, ok = qp_ip.solve_qp(H, q, G, gvec, F, b)
+    assert ok
+
+    mesh = make_mesh(axis_name=qp_sharded.BLOCK_AXIS)
+    sol = qp_sharded.solve_sharded(
+        qp, mesh,
+        cfg=qp_sharded.ShardedSolverConfig(
+            max_iter=4000, eps_abs=1e-7, eps_rel=1e-7, cg_tol=1e-10,
+            cg_max_iter=500),
+    )
+    assert bool(sol.solved)
+    x_s = np.asarray(sol.x)
+    # optimality: objective gap vs the oracle optimum (the argmin itself is
+    # only determined to ~5e-4 — the safe-set multipliers are near-degenerate,
+    # so two solvers can sit at different points of a flat valley)
+    def obj(z):
+        return 0.5 * z @ H @ z + q @ z
+
+    gap = abs(obj(x_s) - obj(z_ref)) / max(abs(obj(z_ref)), 1.0)
+    assert gap < 1e-6, gap
+    # feasibility of the sharded solution on the ORIGINAL constraints
+    Az = A @ x_s
+    assert max((Az - u).max(), (l - Az).max()) < 1e-6
+    # and the argmin agrees to the degeneracy scale
+    np.testing.assert_allclose(x_s, z_ref, atol=2e-3)
+    du = np.abs(x_s[d.off_u:d.off_u + d.nu_tot]
+                - z_ref[d.off_u:d.off_u + d.nu_tot]).max()
+    assert du < 2e-3, du
+    # lambda on the simplex
+    lam = x_s[d.off_lambda:d.off_lambda + d.K]
+    assert abs(lam.sum() - 1.0) < 1e-5
+    assert lam.min() > -1e-6
