@@ -21,6 +21,10 @@ Writes one JSON line per size; artifact committed as
 Usage:
   python examples/bench_sharded_qp.py --backend cpu --sizes 1024,4096
   python examples/bench_sharded_qp.py --backend tpu --sizes 8192,16384
+  python examples/bench_sharded_qp.py --backend cpu --table --sizes 64,256,1024
+      (accuracy-vs-n table: unscaled residuals with/without the indirect
+       active-set polish, plus max|x - x_oracle| where the f64 interior-
+       point oracle is tractable — round-4 verdict item 4)
 """
 from __future__ import annotations
 
@@ -78,6 +82,9 @@ def main():
     ap.add_argument("--backend", default="cpu", choices=["cpu", "tpu"])
     ap.add_argument("--sizes", default="1024,4096")
     ap.add_argument("--max-iter", type=int, default=500)
+    ap.add_argument("--table", action="store_true",
+                    help="accuracy-vs-n table (residuals +/- polish, "
+                         "vs-oracle error up to n=1024)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -85,6 +92,45 @@ def main():
     mesh = make_mesh(devices, axis_name=qp_sharded.BLOCK_AXIS)
     p = mesh.devices.size
     rows = []
+
+    if args.table:
+        import numpy as np
+        for n in [int(s) for s in args.sizes.split(",")]:
+            me, mi = n // 16, n // 4
+            qp = _make_giant_qp(jax.random.PRNGKey(0), n, me, mi)
+            jax.block_until_ready(qp.P)
+            row = {"n": n, "m": me + mi, "devices": p,
+                   "backend": args.backend}
+            for tag, pol in (("nopolish", False), ("polish", True)):
+                cfg = qp_sharded.ShardedSolverConfig(
+                    max_iter=args.max_iter, polish=pol)
+                sol = qp_sharded.solve_sharded(qp, mesh, cfg=cfg)
+                jax.block_until_ready(sol.x)
+                row[f"pri_{tag}"] = float(sol.pri_res)
+                row[f"dua_{tag}"] = float(sol.dua_res)
+                row[f"solved_{tag}"] = bool(sol.solved)
+                if n <= 1024:
+                    from tests.oracles import qp_ip
+                    P64 = np.asarray(qp.P, np.float64)
+                    A64 = np.asarray(qp.A, np.float64)
+                    l64 = np.asarray(qp.l, np.float64)
+                    u64 = np.asarray(qp.u, np.float64)
+                    eq = np.isfinite(l64) & (u64 - l64 < 1e-9)
+                    z_ref, *_, ok = qp_ip.solve_qp(
+                        P64, np.asarray(qp.q, np.float64),
+                        A64[eq], u64[eq], A64[~eq], u64[~eq])
+                    if ok:
+                        row[f"err_vs_oracle_{tag}"] = float(
+                            np.abs(np.asarray(sol.x) - z_ref).max())
+            rows.append(row)
+            print(json.dumps(row))
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump({"metric": "sharded_qp_accuracy_table",
+                           "rows": rows}, f, indent=1)
+            print("wrote", args.out)
+        return
+
     for n in [int(s) for s in args.sizes.split(",")]:
         me, mi = n // 16, n // 4
         qp = _make_giant_qp(jax.random.PRNGKey(0), n, me, mi)

@@ -213,7 +213,18 @@ def main():
             "final_lap_rel_diff_pct": round(
                 (v[-1] - ref[-1]) / ref[-1] * 100, 2),
             **({"rejected_per_lap": [d["rejects"] for d in diags[k]],
-                "unconverged_per_lap": [d["unconverged"] for d in diags[k]]}
+                "unconverged_per_lap": [d["unconverged"] for d in diags[k]],
+                # criterion-level summary (round-4 verdict item 6): fraction
+                # of executed steps whose solve missed tolerance but was
+                # still applied (pri_res under accept_pri_res). Not a
+                # quality event by itself — the lap-time criteria above are
+                # — but a preset marketed as "tighter" must not hide a high
+                # rate here.
+                "unconverged_rate": round(
+                    sum(d["unconverged"] for d in diags[k]) / max(sum(v), 1),
+                    4),
+                "rejected_rate": round(
+                    sum(d["rejects"] for d in diags[k]) / max(sum(v), 1), 4)}
                if k in diags else {}),
         }
         for k, v in out.items()

@@ -12,10 +12,12 @@ Usage:
 
 Prints one JSON line per variant:
     {"variant": {...}, "solves_per_s": N, "iters_mean": N, "iters_p50": N,
-     "iters_p99": N, "rejects": N}
-``rejects`` (scenarios whose solve was not accepted, summed over measured
-steps) is the cheap in-sweep quality guard; real quality gating is
-examples/solver_quality.py on the winner.
+     "iters_p99": N, "unconverged": N}
+``unconverged`` (solves that missed tolerance — state.feasible False — but
+may still have been accepted, summed over measured steps) is the cheap
+in-sweep quality guard; real quality gating is examples/solver_quality.py
+on the winner. (Round-5 note: this column was previously labelled
+"rejects"; it always counted unconverged solves.)
 """
 from __future__ import annotations
 
@@ -163,7 +165,7 @@ def main():
             "iters_mean": round(float(it.mean()), 1),
             "iters_p50": int(np.percentile(it, 50)),
             "iters_p99": int(np.percentile(it, 99)),
-            "rejects": rej,
+            "unconverged": rej,
         }
         print(json.dumps(rec), flush=True)
 

@@ -345,11 +345,16 @@ class LMPCState(NamedTuple):
     iters: jnp.ndarray      # () int32 ADMM iterations to tolerance
 
 
-def init_lmpc_state(cfg: LMPCConfig, dtype=jnp.float32) -> LMPCState:
+def init_lmpc_state(cfg: LMPCConfig, dtype=jnp.float32,
+                    solver=None) -> LMPCState:
     """Empty state; seed laps go in via :func:`lmpc_add_trajectory`.
 
-    zt starts at [0,0,0,0,10,0] (reference :333)."""
+    zt starts at [0,0,0,0,10,0] (reference :333). Passing the
+    :class:`SolverConfig` lets the state drop the cached KKT inverse from
+    the carry when the structured path never reads it
+    (``qp.init_factor_cache(with_kinv=False)`` — 160 KB/scenario)."""
     dims = ocp.FTOCPDims(N=cfg.N, K=cfg.num_ss_points)
+    with_kinv = solver is None or not solver.kkt_structured
     return LMPCState(
         ss=make_safe_set(cfg.max_laps, cfg.max_pts, dtype=dtype,
                          glob_pts=cfg.glob_cap),
@@ -365,7 +370,8 @@ def init_lmpc_state(cfg: LMPCConfig, dtype=jnp.float32) -> LMPCState:
         zt_u=jnp.zeros(2, dtype=dtype),
         warm_x=jnp.zeros(dims.nz, dtype=dtype),
         warm_y=jnp.zeros(dims.mi + dims.me, dtype=dtype),
-        fac=qp_mod.init_factor_cache(dims.nz, dims.mi + dims.me, dtype=dtype),
+        fac=qp_mod.init_factor_cache(dims.nz, dims.mi + dims.me, dtype=dtype,
+                                     with_kinv=with_kinv),
         time_step=jnp.zeros((), jnp.int32),
         rejects=jnp.zeros((), jnp.int32),
         feasible=jnp.asarray(False),

@@ -78,9 +78,14 @@ def _mpc_templates(cfg: MPCConfig, dtype):
 def _solve_and_unpack(dims, tmpl, dyn, x0, state: MPCState, cfg: MPCConfig,
                       solver_cfg: SolverConfig):
     qp = ocp.assemble_qp(dims, tmpl, dyn, x0, state.u_old, cfg.dR)
+    # LTV: the matrices change every step and the cached-inverse warm start
+    # never contracts -> use the exact structured build. LTI: the matrices
+    # are CONSTANT, so the warm Newton-Schulz refresh costs one guard GEMM
+    # with zero iterations -> cheaper than any rebuild; keep the NS path.
     sol = qp_mod.solve(
         qp, solver_cfg, warm=(state.warm_x, state.warm_y), fac=state.fac,
-        structure=kkt_band.band_structure(dims.N, dims.K),
+        structure=(kkt_band.band_structure(dims.N, dims.K)
+                   if cfg.time_varying else None),
     )
     x_pred, u_pred, _, _, _ = ocp.unpack(dims, sol.x)
     # infeasibility/divergence is a data path (SURVEY §5.3): accept only

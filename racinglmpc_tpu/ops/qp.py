@@ -85,9 +85,16 @@ class FactorCache(NamedTuple):
     age: jnp.ndarray    # () int32 — solves since cache creation
 
 
-def init_factor_cache(n: int, m: int, dtype=jnp.float32) -> FactorCache:
+def init_factor_cache(n: int, m: int, dtype=jnp.float32,
+                      with_kinv: bool = True) -> FactorCache:
+    """``with_kinv=False`` drops the (n, n) cached inverse from the carry —
+    the structured block-tridiagonal path (SolverConfig.kkt_structured)
+    rebuilds the KKT inverse exactly every step and never reads the cache,
+    which at n=200 is 160 KB/scenario of dead state (~10% of the config5
+    controller state). The solver falls back to a cold build if a caller
+    mixes a kinv-less cache with the Newton-Schulz path."""
     return FactorCache(
-        kinv=jnp.zeros((n, n), dtype=dtype),
+        kinv=jnp.zeros((n if with_kinv else 0,) * 2, dtype=dtype),
         D=jnp.ones(n, dtype=dtype),
         E=jnp.ones(m, dtype=dtype),
         c=jnp.ones((), dtype=dtype),
@@ -277,7 +284,20 @@ def _ns_inverse(K, X0, warm_ok, tol: float, max_iters: int,
         jnp.where(bad, Xj, X),
         jnp.where(bad, jnp.asarray(1e5, dt), resid),
     )
-    return X2, resid2
+    # final unconditional squaring (2 GEMMs): the tolerance exits above can
+    # return a residual JUST under tol — e.g. a zero-iteration warm accept
+    # at r0 ~ tol, or a structured build polished exactly to tol — and the
+    # Pallas kernel's iteration tail measurably degrades on ~tol-level
+    # inverses (resid 9.8e-4 left 9.4% of lanes unconverged at 300
+    # iterations vs p99 47 at floor level). One more iteration lands at the
+    # f32 fixed-point floor (~3e-4 on the product FTOCP) regardless of
+    # which exit produced X; skipped (via where) when X failed to converge
+    # so a diverged iterate is not squared into NaN.
+    R2 = I - K @ X2
+    r2_m = jnp.max(jnp.abs(R2))
+    ok2 = jnp.isfinite(r2_m) & (r2_m < 1.0)
+    X3 = jnp.where(ok2, X2 + X2 @ R2, X2)
+    return X3, jnp.where(ok2, jnp.minimum(resid2, r2_m), resid2)
 
 
 def _make_admm_iter(qp: QPData, Kinv, rho, sigma, alpha, refine_steps: int):
@@ -441,7 +461,8 @@ def _solve_impl(qp, cfg, warm, fac, structure=None):
     ns_tol = cfg.ns_tol if cfg.ns_tol is not None else (
         1e-3 if dt == jnp.float32 else 1e-9
     )
-    if fac is not None:
+    keep_kinv = fac is not None and fac.kinv.size > 0
+    if keep_kinv:
         # The cached kinv approximates the inverse of the PREVIOUS step's
         # scaled K. The Ruiz refinement changes the scaling every step, which
         # perturbs K_s multiplicatively: K_new ~= t K_old t with
@@ -449,11 +470,16 @@ def _solve_impl(qp, cfg, warm, fac, structure=None):
         # the P and A'rhoA terms; the row scaling E and cost scaling c drifts
         # are left for Newton-Schulz to absorb). Transforming the warm start
         # by t^-1 on both sides tracks that drift for O(n^2) elementwise work
-        # (no GEMM) and cuts the lockstep NS iteration count
-        # (examples/profile_qp.py measures the ns_warm stage).
+        # (no GEMM). NOTE: on the LTV/LMPC workload the warm start NEVER
+        # contracts regardless (see SolverConfig.ns_staged_precision notes);
+        # it pays off only for constant-matrix problems (LTI-MPC).
         ratio = fac.D.astype(dt) / jnp.where(D > 0, D, 1.0)
         kinv0 = fac.kinv.astype(dt) * ratio[:, None] * ratio[None, :]
         warm_ok = fac.valid
+        age = fac.age
+    elif fac is not None:
+        kinv0 = jnp.zeros((n, n), dt)
+        warm_ok = jnp.asarray(False)
         age = fac.age
     else:
         kinv0 = jnp.zeros((n, n), dt)
@@ -497,7 +523,8 @@ def _solve_impl(qp, cfg, warm, fac, structure=None):
                        x_u=D * x, y_u=E * y / c,
                        solved=solved, iters=iters,
                        kinv=kinv_new, ns_resid=ns_resid, ns_tol=ns_tol,
-                       D=D, E=E, c=c, age=age, pre=(pri_k, dua_k))
+                       D=D, E=E, c=c, age=age, pre=(pri_k, dua_k),
+                   keep_kinv=keep_kinv)
 
     # --- phase 1: warmup at rho0, then one rho adaptation ------------------
     # (OSQP-style: adapt on the primal/dual residual ratio. A single early
@@ -508,22 +535,25 @@ def _solve_impl(qp, cfg, warm, fac, structure=None):
     K1 = _build_K(qp_s, rho, sigma)
     if structure is not None and cfg.kkt_structured:
         # exact block-tridiagonal inverse (O(N b^2 n), no cond dependence),
-        # then a FIXED two-iteration NS polish. The polish count must be
-        # static, not a tolerance loop: the raw structured residual
-        # (~1e-3 f32) sits exactly at ns_tol but the Pallas kernel's
-        # iteration tail needs the NS fixed-point floor (~3-5e-4 — measured:
-        # residual 9.8e-4 left 9.4% of lanes unconverged at 300 iterations,
+        # polished by FIXED NS squarings. The polish count must be static,
+        # not a tolerance loop: the raw structured residual (~1e-3 f32)
+        # sits exactly at ns_tol but the Pallas kernel's iteration tail
+        # needs the NS fixed-point floor (~3-5e-4 — measured: residual
+        # 9.8e-4 left 9.4% of lanes unconverged at 300 iterations,
         # floor-level residual matches the NS-cold path's p99 of 47
         # exactly), and that floor is BELOW any tolerance an f32 NS loop
         # can test for — a while_loop at 1e-4 burns all ns_max_iters
         # chasing it (measured: +9 ms). Two squarings from ~1e-3 reach the
-        # floor deterministically; _ns_inverse then verifies (0 iterations)
-        # and keeps the Jacobi cold-build fallback if a degenerate problem
-        # ever breaks a block inversion.
+        # floor deterministically (one here + _ns_inverse's unconditional
+        # final squaring); _ns_inverse also verifies the result and keeps
+        # the Jacobi cold-build fallback if a degenerate problem ever
+        # breaks a block inversion.
         X_st = kkt_band.structured_kinv(K1, structure)
         I_n = jnp.eye(n, dtype=dt)
-        for _ in range(2):
-            X_st = X_st + X_st @ (I_n - K1 @ X_st)
+        # one squaring here; _ns_inverse's unconditional final squaring
+        # provides the second, so the handoff residual only has to clear
+        # the guard (~tol), not the floor
+        X_st = X_st + X_st @ (I_n - K1 @ X_st)
         Kinv1, ns_resid1 = _ns_inverse(K1, X_st, jnp.asarray(True), ns_tol,
                                        cfg.ns_max_iters,
                                        staged=cfg.ns_staged_precision)
@@ -558,7 +588,8 @@ def _solve_impl(qp, cfg, warm, fac, structure=None):
                        x_u=D * x, y_u=E * y / c,
                        solved=solved, iters=iters,
                        kinv=Kinv1, ns_resid=ns_resid1, ns_tol=ns_tol,
-                       D=D, E=E, c=c, age=age, pre=(pri_k, dua_k))
+                       D=D, E=E, c=c, age=age, pre=(pri_k, dua_k),
+                   keep_kinv=keep_kinv)
 
     x, z, y = _admm_segment(
         qp_s, Kinv1, rho, sigma, alpha, x, z, y, warmup,
@@ -680,11 +711,12 @@ def _solve_impl(qp, cfg, warm, fac, structure=None):
                    x_u=D * x, y_u=E * y / c,
                    solved=solved, iters=iters,
                    kinv=Kinv2, ns_resid=ns_resid, ns_tol=ns_tol,
-                   D=D, E=E, c=c, age=age)
+                   D=D, E=E, c=c, age=age, keep_kinv=keep_kinv)
 
 
 def _finish(orig, cfg, dt, n, m, is_eq, *, x_u, y_u, solved, iters,
-            kinv, ns_resid, ns_tol, D, E, c, age, pre=None):
+            kinv, ns_resid, ns_tol, D, E, c, age, pre=None,
+            keep_kinv=True):
     """Shared epilogue: optional polish, final residuals, cache packing.
 
     ``pre``: optional (pri, dua) UNSCALED residuals already computed by the
@@ -720,7 +752,8 @@ def _finish(orig, cfg, dt, n, m, is_eq, *, x_u, y_u, solved, iters,
             dua_f < cfg.eps_abs + cfg.eps_rel * dua_sc
         )
     fac_out = FactorCache(
-        kinv=kinv, D=D, E=E, c=c,
+        kinv=kinv if keep_kinv else kinv[:0, :0],
+        D=D, E=E, c=c,
         valid=jnp.all(jnp.isfinite(kinv)) & (ns_resid < 50 * ns_tol),
         age=age + 1,
     )

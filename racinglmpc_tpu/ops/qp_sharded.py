@@ -86,6 +86,25 @@ class ShardedSolverConfig:
     check_every: int = 25
     cg_tol: float = 1e-6
     cg_max_iter: int = 200
+    # --- absolute-residual refinement tail (round-4 verdict item 4) ---
+    # At giant n the main loop exits at eps_abs + eps_rel * scale, and the
+    # scale term dominates (n=16384 demo: pri 1.9e-2 at eps 1e-3). The
+    # dense path's direct reduced-KKT polish cannot exist at giant n, and
+    # active-set clamping variants were measured UNRELIABLE from a loose
+    # ADMM exit (a single mis-classified row converts the tail into a
+    # wrong-manifold solve whose dual residual blows up 100x — tried:
+    # OSQP-style dual-sign actives, slack-based actives at several
+    # tolerances, freed-dual zeroing; all rejected by the acceptance test
+    # on realistic problems). What works robustly is simpler: CONTINUE the
+    # ADMM with an ABSOLUTE-only exit (the eps_rel term dropped) and a
+    # ~100x tighter CG tolerance — float32 indirect ADMM reaches
+    # eps_abs-dominated residuals (~1e-4..1e-3 unscaled) before its
+    # precision stall. Accepted only on a material primal-residual
+    # improvement with no dual blowup.
+    polish: bool = True
+    polish_iters: int = 150
+    polish_check_every: int = 25
+    polish_cg_tol: float = 1e-10
 
 
 class ShardedQPSolution(NamedTuple):
@@ -303,9 +322,77 @@ def _solve_core(P_l, q, A_l, l_l, u_l, x_w, y_wl, cfg: ShardedSolverConfig,
     st0 = (x, z_l, y_l, jnp.int32(0), jnp.asarray(1.0, dt), jnp.int32(0),
            jnp.asarray(False), jnp.int32(cfg.max_iter),
            jnp.asarray(jnp.inf, dt), jnp.asarray(jnp.inf, dt))
-    x, z_l, y_l, cg_tot, _, _, done, iters, pri, dua = jax.lax.while_loop(
-        cond, body, st0
-    )
+    x, z_l, y_l, cg_tot, rho_fac, _, done, iters, pri, dua = \
+        jax.lax.while_loop(cond, body, st0)
+
+    if cfg.polish and cfg.polish_iters > 0:
+        # ---- refinement tail (see ShardedSolverConfig.polish) ------------
+        rho_l = rho0_l * rho_fac
+
+        def r_iter(carry, _):
+            x, z_l, y_l, cg_tot = carry
+            rhs = sigma * x - q + jax.lax.psum(
+                A_l.T @ (rho_l * z_l - y_l), ax)
+            r0 = rhs - apply_K(x, rho_l)
+            z0 = r0 / jnp.maximum(diag_P + sigma + rho_fac * colsum0, 1e-12)
+            tol2 = (cfg.polish_cg_tol ** 2) * jnp.maximum(rhs @ rhs, 1e-30)
+
+            def ccond(st):
+                _, r, _, _, it = st
+                return jnp.logical_and(r @ r > tol2, it < cfg.cg_max_iter)
+
+            def cbody(st):
+                xv, r, pvec, rz, it = st
+                Kp = apply_K(pvec, rho_l)
+                a = rz / jnp.maximum(pvec @ Kp, 1e-30)
+                xv = xv + a * pvec
+                r = r - a * Kp
+                zv = r / jnp.maximum(
+                    diag_P + sigma + rho_fac * colsum0, 1e-12)
+                rz_new = r @ zv
+                pvec = zv + (rz_new / jnp.maximum(rz, 1e-30)) * pvec
+                return (xv, r, pvec, rz_new, it + 1)
+
+            xt, _, _, _, cg_it = jax.lax.while_loop(
+                ccond, cbody, (x, r0, z0, r0 @ z0, jnp.int32(0)))
+            zt_l = A_l @ xt
+            x_n = alpha * xt + (1.0 - alpha) * x
+            z_rel = alpha * zt_l + (1.0 - alpha) * z_l
+            z_n = jnp.clip(z_rel + y_l / rho_l, l_l, u_l)
+            y_n = y_l + rho_l * (z_rel - z_n)
+            return (x_n, z_n, y_n, cg_tot + cg_it), None
+
+        chunk_p = max(cfg.polish_check_every, 1)
+        n_pchunks = max(cfg.polish_iters // chunk_p, 1)
+
+        def pcond(st):
+            _, _, _, _, k, done_p, _, _ = st
+            return jnp.logical_and(jnp.logical_not(done_p), k < n_pchunks)
+
+        def pbody(st):
+            x, z_l, y_l, cg_tot, k, done_p, pri_c, dua_c = st
+            (x, z_l, y_l, cg_tot), _ = jax.lax.scan(
+                r_iter, (x, z_l, y_l, cg_tot), None, length=chunk_p)
+            pri_c, dua_c, _, _ = residuals(x, y_l)
+            ok = (pri_c < cfg.eps_abs) & (dua_c < cfg.eps_abs)
+            return (x, z_l, y_l, cg_tot, k + 1, ok, pri_c, dua_c)
+
+        x_p, z_p, y_p, cg_tot_p, _, _, pri_p, dua_p = jax.lax.while_loop(
+            pcond, pbody,
+            (x, z_l, y_l, cg_tot, jnp.int32(0), jnp.asarray(False),
+             pri, dua))
+        fin = jax.lax.pmin(
+            (jnp.all(jnp.isfinite(x_p))
+             & jnp.all(jnp.isfinite(y_p))).astype(jnp.int32),
+            ax).astype(bool)
+        better = fin & (pri_p < 0.7 * pri) & (
+            dua_p < 2.0 * dua + cfg.eps_abs)
+        x = jnp.where(better, x_p, x)
+        y_l = jnp.where(better, y_p, y_l)
+        pri = jnp.where(better, pri_p, pri)
+        dua = jnp.where(better, dua_p, dua)
+        done = done | (better & (pri_p < cfg.eps_abs) & (dua_p < cfg.eps_abs))
+        cg_tot = jnp.where(better, cg_tot_p, cg_tot)
 
     x_u = D * x
     y_u = E_l * y_l / c

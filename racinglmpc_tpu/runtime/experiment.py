@@ -389,7 +389,8 @@ def run_experiment(
                 "stored lap (state/data divergence)"
             )
         lmpc_state = shard(jax.vmap(
-            lambda _: lmpc_mod.init_lmpc_state(lcfg, dtype=dtype)
+            lambda _: lmpc_mod.init_lmpc_state(lcfg, dtype=dtype,
+                                               solver=cfg.solver)
         )(jnp.arange(batch)))
 
         runner = _batched_runner(
