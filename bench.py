@@ -431,6 +431,83 @@ def main(batch: int = 256, steps: int = 50, reps: int = 3,
         "admm_iters_p99": int(np.percentile(it, 99)),
         "batch": batch,
     }
+
+    # ---- secondary: the throughput_max preset (structured KKT inverse) ----
+    # +31% solves/s at identical tolerances; NOT the headline because its
+    # converged-lap quality measures 2.18% vs the 1% parity criterion the
+    # headline preset meets (see SolverConfig.throughput_max and the
+    # round-5 quality A/B in BASELINE.md). Reported so the speed frontier
+    # stays visible next to the criterion-bound number.
+    try:
+        import dataclasses
+
+        scfg_max = SolverConfig.throughput_max()
+
+        def seed_one_max(_):
+            st = lmpc_mod.init_lmpc_state(cfg.lmpc, solver=scfg_max)
+            for _i in range(cfg.lmpc.num_ss_it):
+                st = lmpc_mod.lmpc_add_trajectory(
+                    st, cfg.lmpc, x_seed, u_seed, xg_seed, steps_seed, L
+                )
+            return st
+
+        state_m = jax.jit(jax.vmap(seed_one_max))(jnp.arange(batch))
+        step_m = lmpc_mod.make_lmpc(cfg.lmpc, trk, scfg_max, cfg.sim.dt)
+
+        @jax.jit
+        def run_chunk_max(state, plant, key):
+            def body(carry, t):
+                state, plant = carry
+                k = jax.random.fold_in(key, t)
+                kc, kp = jax.random.split(k)
+                kcs = jax.random.split(kc, state.time_step.shape[0])
+                kps = jax.random.split(kp, state.time_step.shape[0])
+                state, u = jax.vmap(step_m)(state, plant.x, kcs)
+                if cfg.sim.use_pallas_rollout:
+                    from racinglmpc_tpu.ops.pallas_rollout import (
+                        plant_step_batch,
+                    )
+
+                    nx, nxg = plant_step_batch(
+                        plant.x, plant.x_glob, u, vp, trk, cfg.sim
+                    )
+                    sig = jnp.asarray(cfg.sim.noise_sigma, dtype=nx.dtype)
+                    raw = jax.vmap(
+                        lambda kk: jax.random.normal(kk, (3,), dtype=nx.dtype)
+                    )(kps) * sig
+                    nx = nx.at[:, :3].add(cfg.sim.noise_gain * jnp.clip(
+                        raw, -cfg.sim.noise_clip, cfg.sim.noise_clip))
+                    plant = PlantState(x=nx, x_glob=nxg)
+                else:
+                    plant = jax.vmap(
+                        lambda pl, uu, kk: plant_step(pl, uu, vp, trk,
+                                                      cfg.sim, kk)
+                    )(plant, u, kps)
+                return (state, plant), None
+
+            (state, plant), _ = jax.lax.scan(
+                body, (state, plant), jnp.arange(steps)
+            )
+            return state, plant
+
+        x0m = jnp.tile(jnp.asarray([0.5, 0, 0, 0, 0, 0], jnp.float32),
+                       (batch, 1))
+        plant_m = PlantState(x=x0m, x_glob=x0m)
+        state_m, plant_m = run_chunk_max(state_m, plant_m,
+                                         jax.random.fold_in(key, 11))
+        jax.block_until_ready(plant_m.x)
+        tmax = []
+        for r in range(2):
+            t0 = time.time()
+            state_m, plant_m = run_chunk_max(state_m, plant_m,
+                                             jax.random.fold_in(key, 12 + r))
+            jax.block_until_ready(plant_m.x)
+            tmax.append(time.time() - t0)
+        result["max_preset_solves_per_s"] = round(
+            batch * steps / min(tmax), 1)
+        log(f"throughput_max: {result['max_preset_solves_per_s']} solves/s")
+    except BaseException as e:  # noqa: BLE001 — secondary must not kill bench
+        result["max_preset_error"] = f"{type(e).__name__}: {e}"[:200]
     # ---- on-TPU quality gate on the SAME preset (round-4 item 4) ----------
     log("running quality gate (12-lap batched LMPC session)...")
     t0 = time.time()

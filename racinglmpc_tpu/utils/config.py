@@ -334,7 +334,38 @@ class SolverConfig:
         return cls(max_iter=300, polish=False, adaptive_rho=False,
                    use_pallas=True,
                    scaling_warm_iters=2, scaling_refresh_every=50,
-                   check_every=4, rescue_max_iter=300)
+                   check_every=4, rescue_max_iter=300,
+                   # round 5: the structured KKT inverse is +31% solves/s at
+                   # identical tolerances/iteration stats, but its accepted
+                   # solutions' closed-loop quality at CONVERGED laps runs
+                   # ~1 step/lap (~1.4%) slower than the NS path's — 40-lap
+                   # criterion 2.18%/2.0% (two runs) vs 0.81% NS and the
+                   # 1% bar, confirmed causal by a batch-8 converged-regime
+                   # A/B (77.19 vs 76.20 mean steps over 64 lap-samples).
+                   # The criterion-bound headline therefore keeps the NS
+                   # build; throughput_max() ships the structured speed
+                   # with the tradeoff documented. Tightening eps to 7e-4
+                   # recovers ~0.7 of the gap but costs the whole win
+                   # (7.18k solves/s ~ NS headline).
+                   kkt_structured=False)
+
+    @classmethod
+    def throughput_max(cls) -> "SolverConfig":
+        """Maximum-throughput float32 preset: :meth:`throughput` with the
+        exact block-tridiagonal KKT inverse (ops/kkt_band.py) in place of
+        the per-step Newton-Schulz cold build.
+
+        Measured (round 5, TPU v5e, batch 256, ABBA sweeps): **8,656-8,683
+        solves/s vs 6,590-6,690** for :meth:`throughput` (+31%), identical
+        ADMM iteration stats (mean 26.9 / p50 24 / p99 72) and unconverged
+        counts. The tradeoff is closed-loop lap-time quality at CONVERGED
+        laps: ~+1 step/lap (~1.4% at 70-step laps; 40-lap cumulative
+        2.18% vs the 1% parity criterion that :meth:`throughput` meets at
+        0.81%). Use when step throughput or latency dominates and the
+        last ~1% of converged lap time does not."""
+        base = cls.throughput()
+        import dataclasses as _dc
+        return _dc.replace(base, kkt_structured=True)
 
     @classmethod
     def balanced(cls) -> "SolverConfig":
