@@ -44,10 +44,11 @@ from racinglmpc_tpu.utils.config import (
 
 
 def measure_batch(batch: int, chunk_steps: int, n_chunks: int,
-                  pid_seed, trk, vp, on_tpu: bool) -> dict:
+                  pid_seed, trk, vp, on_tpu: bool,
+                  preset: str = "throughput") -> dict:
     cfg = exp.ExperimentConfig(
         stage_steps=450,
-        solver=SolverConfig.throughput(),
+        solver=getattr(SolverConfig, preset)(),
         sim=SimConfig(use_pallas_rollout=on_tpu),
         lmpc=LMPCConfig(max_laps=12, max_pts=1024, model_pts=512,
                         use_pallas_sysid=on_tpu,
@@ -57,7 +58,7 @@ def measure_batch(batch: int, chunk_steps: int, n_chunks: int,
     x_seed, u_seed, xg_seed, steps_seed = pid_seed
 
     def seed_one(_):
-        st = lmpc_mod.init_lmpc_state(cfg.lmpc)
+        st = lmpc_mod.init_lmpc_state(cfg.lmpc, solver=cfg.solver)
         for _ in range(cfg.lmpc.num_ss_it):
             st = lmpc_mod.lmpc_add_trajectory(
                 st, cfg.lmpc, x_seed, u_seed, xg_seed, steps_seed, L
@@ -130,6 +131,8 @@ def measure_batch(batch: int, chunk_steps: int, n_chunks: int,
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", default="64,256,512,1024,2048")
+    ap.add_argument("--preset", default="throughput",
+                    choices=["throughput", "throughput_max"])
     ap.add_argument("--chunks", type=int, default=8)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
@@ -148,10 +151,11 @@ def main():
         # keep one dispatch well under the ~25-40 s execution watchdog
         chunk = 25 if b <= 1024 else 10
         rows.append(measure_batch(b, chunk, args.chunks, pid_seed, trk, vp,
-                                  on_tpu))
+                                  on_tpu, preset=args.preset))
 
     out = {
         "metric": "true_batched_step_latency_vs_batch",
+        "preset": args.preset,
         "budget_ms": 100.0,
         "device": jax.devices()[0].platform,
         "rows": rows,

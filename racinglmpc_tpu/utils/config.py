@@ -339,7 +339,7 @@ class SolverConfig:
                    # identical tolerances/iteration stats, but its accepted
                    # solutions' closed-loop quality at CONVERGED laps runs
                    # ~1 step/lap (~1.4%) slower than the NS path's — 40-lap
-                   # criterion 2.18%/2.0% (two runs) vs 0.81% NS and the
+                   # criterion 2.18%/2.0% (two runs) vs 0.46% NS and the
                    # 1% bar, confirmed causal by a batch-8 converged-regime
                    # A/B (77.19 vs 76.20 mean steps over 64 lap-samples).
                    # The criterion-bound headline therefore keeps the NS
@@ -361,7 +361,7 @@ class SolverConfig:
         counts. The tradeoff is closed-loop lap-time quality at CONVERGED
         laps: ~+1 step/lap (~1.4% at 70-step laps; 40-lap cumulative
         2.18% vs the 1% parity criterion that :meth:`throughput` meets at
-        0.81%). Use when step throughput or latency dominates and the
+        0.46%). Use when step throughput or latency dominates and the
         last ~1% of converged lap time does not."""
         base = cls.throughput()
         import dataclasses as _dc
