@@ -54,6 +54,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--ladder", default="4096,3072,2560,2048,1792")
     ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--single", type=int, default=None,
+                    help="internal: probe ONE batch size in this process "
+                         "and print a row (the ladder spawns one subprocess "
+                         "per rung — a failed rung leaks device buffers and "
+                         "compiled executables into the same process, which "
+                         "was measured to OOM every later rung)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -82,13 +88,39 @@ def main():
     print(json.dumps({k: v for k, v in rec.items() if k != "ladder"},
                      indent=1), file=sys.stderr)
 
+    if args.single is None:
+        # ladder mode: one SUBPROCESS per rung (fresh TPU client each time)
+        import subprocess
+        for b in [int(x) for x in args.ladder.split(",")]:
+            child = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--single", str(b), "--steps", str(args.steps)],
+                capture_output=True, text=True, timeout=1800)
+            row = None
+            for line in child.stdout.splitlines():
+                line = line.strip()
+                if line.startswith("{") and '"batch"' in line:
+                    row = json.loads(line)
+            if row is None:
+                row = {"batch": b, "ok": False,
+                       "error": (child.stderr or "no output")[-600:]}
+            print(json.dumps(row), file=sys.stderr, flush=True)
+            rec["ladder"].append(row)
+            if row.get("ok"):
+                break  # largest fitting batch found
+        print(json.dumps(rec))
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump(rec, f, indent=1)
+        return
+
     print("[probe] PID seed stage...", file=sys.stderr, flush=True)
     pid = exp.run_experiment(key, cfg, batch=1, stages="pid")
     xs, us, xgs, st_n = (pid.pid.x[0], pid.pid.u[0], pid.pid.x_glob[0],
                         pid.pid.steps[0])
     step = lmpc_mod.make_lmpc(cfg.lmpc, trk, cfg.solver, cfg.sim.dt)
 
-    for b in [int(x) for x in args.ladder.split(",")]:
+    for b in [args.single]:
         row = {"batch": b}
         t0 = time.time()
         try:
@@ -141,15 +173,7 @@ def main():
         except Exception as e:  # noqa: BLE001 — OOM text is the datum
             row["ok"] = False
             row["error"] = str(e)[:600]
-        print(json.dumps(row), file=sys.stderr, flush=True)
-        rec["ladder"].append(row)
-        if row["ok"]:
-            break  # largest fitting batch found
-
-    print(json.dumps(rec))
-    if args.out:
-        with open(args.out, "w") as f:
-            json.dump(rec, f, indent=1)
+        print(json.dumps(row), flush=True)
 
 
 if __name__ == "__main__":
