@@ -146,6 +146,13 @@ def main():
     pid_seed = (pid.pid.x[0], pid.pid.u[0], pid.pid.x_glob[0],
                 pid.pid.steps[0])
 
+    # throwaway measurement: the FIRST timed dispatch sequence in a fresh
+    # process can read ~0 through the axon tunnel regardless of true cost
+    # (first-measurement artifact, BASELINE.md round-5 notes; one bogus
+    # 24.8M-solves/s row shipped before this guard)
+    measure_batch(batches[0], 25, 1, pid_seed, trk, vp, on_tpu,
+                  preset=args.preset)
+
     rows = []
     for b in batches:
         # keep one dispatch well under the ~25-40 s execution watchdog
