@@ -96,29 +96,42 @@ def main():
     dims, qp = ftocp_batch()
     st_band = kkt_band.band_structure(dims.N, dims.K)
 
-    # --- 1. Pallas kernel vs XLA ADMM path on the same FTOCPs -------------
+    # --- 1. Pallas kernel vs XLA ADMM path: FIXED-ITERATION parity --------
+    # Tolerance-exited near-optima from two different iteration schedules
+    # legitimately differ by ~1e-2 along the FTOCP's soft directions, so the
+    # miscompile check forces BOTH paths through EXACTLY the same math:
+    # eps = 0 (no early exit), identical fixed iteration budget, rescue
+    # off. Correct lowerings then agree to f32 rounding; a Mosaic
+    # miscompile (unwritten buffers, wrong dot lowering, bad predication)
+    # shows up as wholesale divergence.
     base = dataclasses.replace(
         SolverConfig.throughput(), kkt_structured=False)
-    cfg_pallas = base
-    cfg_xla = dataclasses.replace(base, use_pallas=False)
+    # 16 iterations: every dot/elementwise op in the loop executes
+    # repeatedly. Measured legitimate divergence between the kernel's
+    # row-vector dots and XLA's GEMMs is ~2-3e-3 (f32 rounding amplified
+    # through the ~1e5-conditioned x-update; constant in iteration count),
+    # so the threshold sits an order above that and orders below
+    # miscompile-class garbage (unwritten buffers / wrong lowerings give
+    # O(1)-to-NaN divergence)
+    fixed = dataclasses.replace(
+        base, eps_abs=0.0, eps_rel=0.0, max_iter=16, warmup_iters=16,
+        check_every=16, rescue_max_iter=0, polish=False)
+    fixed_x = dataclasses.replace(fixed, use_pallas=False)
     sol_p = jax.jit(lambda q: jax.vmap(
-        lambda p: qp_mod.solve(p, cfg_pallas))(q))(qp)
+        lambda p: qp_mod.solve(p, fixed))(q))(qp)
     sol_x = jax.jit(lambda q: jax.vmap(
-        lambda p: qp_mod.solve(p, cfg_xla))(q))(qp)
-    ok_p = np.asarray(sol_p.solved)
-    ok_x = np.asarray(sol_x.solved)
-    both = ok_p & ok_x
-    # a few synthetic random safe-set blocks make near-degenerate FTOCPs
-    # neither path solves — compare the two paths on the common solved set
-    # and require that set to be large and IDENTICAL (a kernel miscompile
-    # flips lanes only on the Pallas side)
-    du = float(np.abs(np.asarray(sol_p.x)[both]
-                      - np.asarray(sol_x.x)[both]).max())
+        lambda p: qp_mod.solve(p, fixed_x))(q))(qp)
+    dlane = np.abs(np.asarray(sol_p.x) - np.asarray(sol_x.x)).max(axis=1)
+    du = float(dlane.max())
     B = qp.P.shape[0]
-    check("pallas_kernel_vs_xla",
-          bool((ok_p == ok_x).all()) and both.sum() >= 0.9 * B and du < 5e-3,
-          f"(solved {ok_p.sum()}/{B} vs {ok_x.sum()}/{B}, same set "
-          f"{bool((ok_p == ok_x).all())}, max|dx| on solved {du:.1e})")
+    check("pallas_kernel_vs_xla_fixed_iter", du < 3e-2,
+          f"(16 fixed iterations, max|dx| {du:.1e})")
+    # and the normal tolerance-exited run must solve the batch
+    sol_t = jax.jit(lambda q: jax.vmap(
+        lambda p: qp_mod.solve(p, base))(q))(qp)
+    n_ok = int(np.asarray(sol_t.solved).sum())
+    check("pallas_kernel_solves_batch", n_ok >= 0.9 * B,
+          f"(solved {n_ok}/{B})")
     # unwritten-buffer regression guard: outputs must not be all-zero/NaN
     check("pallas_kernel_outputs_written",
           bool(jnp.all(jnp.isfinite(sol_p.x)))
