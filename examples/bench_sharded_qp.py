@@ -197,16 +197,23 @@ def main():
         qp = _make_giant_qp(jax.random.PRNGKey(0), n, me, mi)
         jax.block_until_ready(qp.P)
         m = qp.A.shape[0]
-        cfg = qp_sharded.ShardedSolverConfig(max_iter=args.max_iter)
+        # capacity row: tail off (the wall-time story); quality row: tail on
+        cfg0 = qp_sharded.ShardedSolverConfig(max_iter=args.max_iter,
+                                              polish=False)
+        cfg1 = qp_sharded.ShardedSolverConfig(max_iter=args.max_iter)
 
         t0 = time.perf_counter()
-        sol = qp_sharded.solve_sharded(qp, mesh, cfg=cfg)
+        sol = qp_sharded.solve_sharded(qp, mesh, cfg=cfg0)
         jax.block_until_ready(sol.x)
         t_cold = time.perf_counter() - t0
         t0 = time.perf_counter()
-        sol = qp_sharded.solve_sharded(qp, mesh, cfg=cfg)
+        sol = qp_sharded.solve_sharded(qp, mesh, cfg=cfg0)
         jax.block_until_ready(sol.x)
         t_warm = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        sol_p = qp_sharded.solve_sharded(qp, mesh, cfg=cfg1)
+        jax.block_until_ready(sol_p.x)
+        t_pol = time.perf_counter() - t0
 
         blk_bytes = (n * n + m * n) // p * qp.P.dtype.itemsize
         row = {
@@ -215,6 +222,9 @@ def main():
             "pri_res": float(sol.pri_res), "dua_res": float(sol.dua_res),
             "admm_iters": int(sol.iters), "cg_iters": int(sol.cg_iters),
             "wall_s_cold": round(t_cold, 3), "wall_s": round(t_warm, 3),
+            "pri_res_refined": float(sol_p.pri_res),
+            "dua_res_refined": float(sol_p.dua_res),
+            "wall_s_refined": round(t_pol, 3),
             "per_device_block_mb": round(blk_bytes / 2**20, 1),
             "dense_kinv_mb_if_single": round(n * n * 4 / 2**20, 1),
         }

@@ -102,9 +102,14 @@ class ShardedSolverConfig:
     # precision stall. Accepted only on a material primal-residual
     # improvement with no dual blowup.
     polish: bool = True
-    polish_iters: int = 150
-    polish_check_every: int = 25
-    polish_cg_tol: float = 1e-10
+    polish_iters: int = 60
+    polish_check_every: int = 20
+    # tuned jointly (measured, CPU mesh): 60 iters @ cg 1e-8 matches or
+    # beats 150 @ 1e-10 (n=64: pri 4.4e-4 vs 4.2e-4; n=1024: 3.2e-3 vs
+    # 4.3e-3) at 2-3x less CG work; at giant n the tail is still the
+    # dominant cost of a polished solve (capacity rows in
+    # BENCH_sharded_qp_demo.json report both)
+    polish_cg_tol: float = 1e-8
 
 
 class ShardedQPSolution(NamedTuple):
