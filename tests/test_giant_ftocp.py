@@ -121,3 +121,28 @@ def test_giant_ftocp_sharded_vs_oracle():
     lam = x_s[d.off_lambda:d.off_lambda + d.K]
     assert abs(lam.sum() - 1.0) < 1e-5
     assert lam.min() > -1e-6
+
+
+def test_giant_ftocp_horizon_wraps_lap():
+    """Horizon longer than the stored lap: the linearization trajectory
+    tiles the lap cyclically (the giant-N analog of the reference's rolled
+    trajectory), and the assembled QP stays well-posed."""
+    trk = track_mod.make_track(dtype=jnp.float64)
+    xs, us = _pid_lap(trk)
+    T = 100                      # truncate the lap so N > T
+    g = giant_ftocp.assemble_giant_ftocp(
+        trk, jnp.asarray(xs[:T]), jnp.asarray(us[:T]), T,
+        N=120, K=24, cfg=LMPCConfig(), dtype=jnp.float64,
+    )
+    # linearization rows repeat with period T
+    np.testing.assert_allclose(np.asarray(g.x_lin[0]), xs[0], atol=1e-12)
+    np.testing.assert_allclose(np.asarray(g.x_lin[T]), xs[0], atol=1e-12)
+    np.testing.assert_allclose(np.asarray(g.x_lin[T + 5]), xs[5], atol=1e-12)
+    # dynamics blocks are finite and non-degenerate everywhere
+    A = np.asarray(g.qp.A)
+    assert np.isfinite(A).all()
+    tr = g.dims.mi + 6
+    blk = A[tr:g.dims.mi + g.dims.nx_tot, :]
+    assert np.abs(blk).max() > 0
+    # qfun stays positive (time-to-go within the lap)
+    assert float(np.asarray(g.qfun_sel).min()) > 0
