@@ -138,7 +138,7 @@ def main():
         B = jnp.zeros((N, 6, 2), dt).at[:, 0, 1].set(dt_ctrl)
         return A, B, jnp.zeros((N, 6), dt)
 
-    def stub_solve(qp, cfg_s, warm=None, fac=None):
+    def stub_solve(qp, cfg_s, warm=None, fac=None, structure=None):
         x, y = warm
         z = jnp.zeros((), x.dtype)
         return qp_mod.QPSolution(

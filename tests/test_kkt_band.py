@@ -105,3 +105,23 @@ def test_solve_structured_matches_ns_path():
                                atol=2e-5)
     # the structured inverse passes the validity guard
     assert bool(s_st.fac.valid)
+
+
+def test_throughput_presets_agree_on_solutions():
+    """throughput() (NS build) and throughput_max() (structured build) are
+    the same algorithm with different KKT-inverse constructions: on the
+    same FTOCPs their accepted solutions agree to the solve tolerance
+    scale. (Their closed-loop lap-time difference — BASELINE round-5 — is
+    chaos amplification of this tolerance-level gap, not a solver bug.)"""
+    import dataclasses
+
+    dims, qp = _ftocp_qp()
+    st = kkt_band.band_structure(dims.N, dims.K)
+    # CPU path: use_pallas gates off; compare the XLA paths head-to-head
+    a = dataclasses.replace(SolverConfig.throughput(), use_pallas=False)
+    b = dataclasses.replace(SolverConfig.throughput_max(), use_pallas=False)
+    sa = qp_mod.solve(qp, a)
+    sb = qp_mod.solve(qp, b, structure=st)
+    assert bool(sa.solved) and bool(sb.solved)
+    assert float(jnp.max(jnp.abs(sa.x - sb.x))) < 5e-2
+    assert float(sb.pri_res) < a.eps_abs + a.eps_rel
