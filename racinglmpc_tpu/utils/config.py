@@ -375,12 +375,13 @@ class SolverConfig:
         verdict item 6, measured in BENCH_solver_quality_40lap_tpu.json):
         in float32 the dual residual frequently stalls above the 3e-4
         target, so at the reference's 40-lap scale this preset applies
-        unconverged-but-accepted solutions on 23-106 steps per ~70-210-step
-        lap (up to ~50%; throughput: 0-9). Its lap-time quality is
-        nevertheless measured GOOD - 0.52% cumulative vs the oracle over 40
-        laps, final lap 7.35% faster - because the accepted solutions'
-        primal residuals stay under accept_pri_res and the lap-time
-        criteria, not the tolerance flag, are the quality bar.
+        unconverged-but-accepted solutions on ~59% of steps (round-5
+        artifact; throughput: 4.1%). Its lap-time quality is
+        nevertheless measured GOOD - 0.26% cumulative vs the oracle over 40
+        laps (round 5; 0.52% round 4), final lap oracle-equal - because
+        the accepted solutions' primal residuals stay under accept_pri_res
+        and the lap-time criteria, not the tolerance flag, are the quality
+        bar.
         ``examples/solver_quality.py`` reports ``unconverged_rate`` per
         preset so this trade is visible in every quality artifact."""
         return cls(max_iter=300, polish=False, adaptive_rho=False,
