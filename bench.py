@@ -92,7 +92,9 @@ def probe_backend(attempt_timeout_s: float = 150.0,
         time.sleep(min(30.0, max(deadline - time.time(), 0.0)))
 
 
-CONVERGED_FIXTURE = "fixtures/converged_laps_v1.npz"
+CONVERGED_FIXTURE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)),
+    "fixtures", "converged_laps_v1.npz")
 
 
 def _run_gate_laps(cfg, trk, vp, seed_laps, key, *, laps, batch, chunk,
@@ -230,7 +232,8 @@ def quality_gate(cfg, trk, vp, x_seed, u_seed, xg_seed, steps_seed, key,
     import numpy as np
 
     lap_steps_mean, rejects_per_lap, unconv_per_lap = _run_gate_laps(
-        cfg, trk, vp, [(x_seed, u_seed, xg_seed, steps_seed)] * 4,
+        cfg, trk, vp,
+        [(x_seed, u_seed, xg_seed, steps_seed)] * cfg.lmpc.num_ss_it,
         key, laps=laps, batch=batch, chunk=chunk, max_steps=max_steps,
         log=log)
 
@@ -471,12 +474,15 @@ def main(batch: int = 256, steps: int = 50, reps: int = 3,
                     nx, nxg = plant_step_batch(
                         plant.x, plant.x_glob, u, vp, trk, cfg.sim
                     )
-                    sig = jnp.asarray(cfg.sim.noise_sigma, dtype=nx.dtype)
-                    raw = jax.vmap(
-                        lambda kk: jax.random.normal(kk, (3,), dtype=nx.dtype)
-                    )(kps) * sig
-                    nx = nx.at[:, :3].add(cfg.sim.noise_gain * jnp.clip(
-                        raw, -cfg.sim.noise_clip, cfg.sim.noise_clip))
+                    if cfg.sim.noise:
+                        sig = jnp.asarray(cfg.sim.noise_sigma,
+                                          dtype=nx.dtype)
+                        raw = jax.vmap(
+                            lambda kk: jax.random.normal(kk, (3,),
+                                                         dtype=nx.dtype)
+                        )(kps) * sig
+                        nx = nx.at[:, :3].add(cfg.sim.noise_gain * jnp.clip(
+                            raw, -cfg.sim.noise_clip, cfg.sim.noise_clip))
                     plant = PlantState(x=nx, x_glob=nxg)
                 else:
                     plant = jax.vmap(

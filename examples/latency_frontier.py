@@ -150,8 +150,8 @@ def main():
     # process can read ~0 through the axon tunnel regardless of true cost
     # (first-measurement artifact, BASELINE.md round-5 notes; one bogus
     # 24.8M-solves/s row shipped before this guard)
-    measure_batch(batches[0], 25, 1, pid_seed, trk, vp, on_tpu,
-                  preset=args.preset)
+    measure_batch(batches[0], 25 if batches[0] <= 1024 else 10, 1,
+                  pid_seed, trk, vp, on_tpu, preset=args.preset)
 
     rows = []
     for b in batches:

@@ -89,8 +89,17 @@ def assemble_giant_ftocp(
     valid = t_idx < steps
     ds = jnp.abs(jnp.where(valid, x_lap[:, 4].astype(dtype), 1e9) - s_end)
     j0 = jnp.argmin(ds).astype(jnp.int32)
-    sel = (j0 + jnp.arange(K, dtype=jnp.int32) - K // 2) % jnp.maximum(
-        steps, 1)
+    # CLAMPED window: a modular window would mix points from s ~ 0 and
+    # s ~ L with lap-discontinuous cost-to-go in one terminal block — the
+    # optimizer would chase the near-zero time-to-go of the s ~ L points
+    # and drag x_N a whole lap from the linearization. The product LMPC
+    # handles crossings with explicit +-L shifts (lmpc.select_terminal_set);
+    # here the window is clamped inside the lap instead, which reproduces
+    # the reference's forward-window-at-lap-start branch
+    # (PredictiveControllers.py:492-495) at the other boundary too.
+    j0c = jnp.clip(j0, K // 2, jnp.maximum(steps - (K - K // 2), K // 2))
+    sel = jnp.clip(j0c + jnp.arange(K, dtype=jnp.int32) - K // 2,
+                   0, jnp.maximum(steps - 1, 0))
     ss_points = x_lap[sel].astype(dtype).T                      # (6, K)
     qfun_sel = (steps - sel).astype(dtype)                      # time-to-go
 

@@ -46,9 +46,18 @@ class MPCState(NamedTuple):
 
 
 def init_state(N: int, x_lin=None, u_lin=None, dtype=jnp.float32,
-               nz: int = 0, m: int = 0) -> MPCState:
+               nz: int = 0, m: int = 0, solver=None,
+               time_varying: bool = False) -> MPCState:
     """Fresh controller state. For LTV, pass the warm-start trajectory
-    (reference: first N+1 rows of the last stored lap, :88-90)."""
+    (reference: first N+1 rows of the last stored lap, :88-90).
+
+    Passing the :class:`SolverConfig` with ``time_varying=True`` drops the
+    cached KKT inverse from the carry when the LTV structured path never
+    reads it (same reasoning as ``lmpc.init_lmpc_state``); the LTI path
+    always keeps it — constant matrices are the one workload where the
+    cross-step warm Newton-Schulz refresh contracts."""
+    with_kinv = (not time_varying) or solver is None \
+        or not solver.kkt_structured
     if x_lin is None:
         x_lin = jnp.zeros((N + 1, 6), dtype=dtype)
     if u_lin is None:
@@ -61,7 +70,8 @@ def init_state(N: int, x_lin=None, u_lin=None, dtype=jnp.float32,
         u_pred=jnp.zeros((N, 2), dtype=dtype),
         warm_x=jnp.zeros(nz, dtype=dtype),
         warm_y=jnp.zeros(m, dtype=dtype),
-        fac=qp_mod.init_factor_cache(nz, m, dtype=dtype),
+        fac=qp_mod.init_factor_cache(nz, m, dtype=dtype,
+                                     with_kinv=with_kinv),
         feasible=jnp.asarray(False),
     )
 
@@ -185,5 +195,6 @@ def make_ltv_mpc(
         return new, u.astype(x0.dtype)
 
     return step, init_state(
-        N, x_lin0, u_lin0, dtype=dtype, nz=dims.nz, m=dims.mi + dims.me
+        N, x_lin0, u_lin0, dtype=dtype, nz=dims.nz, m=dims.mi + dims.me,
+        solver=solver_cfg, time_varying=True,
     )

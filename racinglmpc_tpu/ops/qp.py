@@ -461,8 +461,11 @@ def _solve_impl(qp, cfg, warm, fac, structure=None):
     ns_tol = cfg.ns_tol if cfg.ns_tol is not None else (
         1e-3 if dt == jnp.float32 else 1e-9
     )
-    keep_kinv = fac is not None and fac.kinv.size > 0
-    if keep_kinv:
+    # keep the cached inverse in the RETURNED cache unless the caller
+    # explicitly passed a kinv-less cache (fac=None callers follow the
+    # docstring's chaining pattern and must receive a warm-startable cache)
+    keep_kinv = fac is None or fac.kinv.size > 0
+    if fac is not None and fac.kinv.size > 0:
         # The cached kinv approximates the inverse of the PREVIOUS step's
         # scaled K. The Ruiz refinement changes the scaling every step, which
         # perturbs K_s multiplicatively: K_new ~= t K_old t with
@@ -499,7 +502,12 @@ def _solve_impl(qp, cfg, warm, fac, structure=None):
     # solve; crucially the NS refresh early-exits PER SCENARIO, so one stale
     # lane no longer drags the batch through a lockstep cold build
     # (examples/profile_qp.py measured that at 13.9 ms/step, batch 256).
-    if use_pallas and cfg.pallas_fused_ns:
+    # the structured build takes precedence over the (measured-negative)
+    # fused-prologue kernel if a config enables both — both are Kinv-build
+    # strategies and silently dropping the caller's BandStructure would be
+    # the worse surprise
+    use_structured = structure is not None and cfg.kkt_structured
+    if use_pallas and cfg.pallas_fused_ns and not use_structured:
         from racinglmpc_tpu.ops import pallas_qp
 
         (x, y, pri_k, dua_k, iters, solved, kinv_new,
@@ -533,7 +541,7 @@ def _solve_impl(qp, cfg, warm, fac, structure=None):
     warmup = min(cfg.warmup_iters, total)
     rho = rho0
     K1 = _build_K(qp_s, rho, sigma)
-    if structure is not None and cfg.kkt_structured:
+    if use_structured:
         # exact block-tridiagonal inverse (O(N b^2 n), no cond dependence),
         # polished by FIXED NS squarings. The polish count must be static,
         # not a tolerance loop: the raw structured residual (~1e-3 f32)

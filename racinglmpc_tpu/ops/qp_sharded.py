@@ -218,12 +218,17 @@ def _solve_core(P_l, q, A_l, l_l, u_l, x_w, y_wl, cfg: ShardedSolverConfig,
         t3 = jax.lax.psum(A_l.T @ (rho_l * (A_l @ v)), ax)
         return t1 + sigma * v + t3
 
-    def cg(rhs, x0, rho_l, rho_fac):
-        """Warm-started Jacobi-PCG on K x = rhs; vectors replicated (n,)."""
-        dK = jnp.maximum(diag_P + sigma + rho_fac * colsum0, 1e-12)
+    def cg(rhs, x0, rho_l, rho_fac, tol=None, dK=None):
+        """Warm-started Jacobi-PCG on K x = rhs; vectors replicated (n,).
+
+        ``tol``/``dK`` default to the main-loop settings; the refinement
+        tail passes its tighter tolerance and a hoisted preconditioner."""
+        if dK is None:
+            dK = jnp.maximum(diag_P + sigma + rho_fac * colsum0, 1e-12)
         r0 = rhs - apply_K(x0, rho_l)
         z0 = r0 / dK
-        tol2 = (cfg.cg_tol ** 2) * jnp.maximum(rhs @ rhs, 1e-30)
+        tol2 = ((cfg.cg_tol if tol is None else tol) ** 2) * jnp.maximum(
+            rhs @ rhs, 1e-30)
 
         def cond(st):
             _, r, _, _, it = st
@@ -333,33 +338,14 @@ def _solve_core(P_l, q, A_l, l_l, u_l, x_w, y_wl, cfg: ShardedSolverConfig,
     if cfg.polish and cfg.polish_iters > 0:
         # ---- refinement tail (see ShardedSolverConfig.polish) ------------
         rho_l = rho0_l * rho_fac
+        dK_tail = jnp.maximum(diag_P + sigma + rho_fac * colsum0, 1e-12)
 
         def r_iter(carry, _):
             x, z_l, y_l, cg_tot = carry
             rhs = sigma * x - q + jax.lax.psum(
                 A_l.T @ (rho_l * z_l - y_l), ax)
-            r0 = rhs - apply_K(x, rho_l)
-            z0 = r0 / jnp.maximum(diag_P + sigma + rho_fac * colsum0, 1e-12)
-            tol2 = (cfg.polish_cg_tol ** 2) * jnp.maximum(rhs @ rhs, 1e-30)
-
-            def ccond(st):
-                _, r, _, _, it = st
-                return jnp.logical_and(r @ r > tol2, it < cfg.cg_max_iter)
-
-            def cbody(st):
-                xv, r, pvec, rz, it = st
-                Kp = apply_K(pvec, rho_l)
-                a = rz / jnp.maximum(pvec @ Kp, 1e-30)
-                xv = xv + a * pvec
-                r = r - a * Kp
-                zv = r / jnp.maximum(
-                    diag_P + sigma + rho_fac * colsum0, 1e-12)
-                rz_new = r @ zv
-                pvec = zv + (rz_new / jnp.maximum(rz, 1e-30)) * pvec
-                return (xv, r, pvec, rz_new, it + 1)
-
-            xt, _, _, _, cg_it = jax.lax.while_loop(
-                ccond, cbody, (x, r0, z0, r0 @ z0, jnp.int32(0)))
+            xt, cg_it = cg(rhs, x, rho_l, rho_fac,
+                           tol=cfg.polish_cg_tol, dK=dK_tail)
             zt_l = A_l @ xt
             x_n = alpha * xt + (1.0 - alpha) * x
             z_rel = alpha * zt_l + (1.0 - alpha) * z_l

@@ -340,6 +340,7 @@ def run_experiment(
                 lambda st: mpc_mod.init_state(
                     cfg.N, st.x[0, : cfg.N + 1], st.u[0, : cfg.N],
                     dtype=dtype, nz=dims.nz, m=dims.mi + dims.me,
+                    solver=cfg.solver, time_varying=True,
                 )
             )(ltv_store0),
             ltv_store0,

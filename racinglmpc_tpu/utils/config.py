@@ -383,7 +383,14 @@ class SolverConfig:
         and the lap-time criteria, not the tolerance flag, are the quality
         bar.
         ``examples/solver_quality.py`` reports ``unconverged_rate`` per
-        preset so this trade is visible in every quality artifact."""
+        preset so this trade is visible in every quality artifact.
+
+        Note: unlike :meth:`throughput`, this preset keeps the default
+        ``kkt_structured=True`` (the structured KKT build) — its tighter
+        eps shrinks the accepted-solution spread enough that the
+        structured build's converged-lap cost does not appear (round-5
+        40-lap artifact: 0.26% cumulative WITH the structured build,
+        matching the round-5 eps-tightening experiment)."""
         return cls(max_iter=300, polish=False, adaptive_rho=False,
                    use_pallas=True, eps_abs=3e-4, eps_rel=3e-4,
                    scaling_warm_iters=2, scaling_refresh_every=50,
